@@ -1,0 +1,171 @@
+"""Benchmark: SML inner-loop training throughput (examples/s) on TPU.
+
+Workload: one Yelp-scale synthetic period (100k users / 20k items / d=64),
+the SML inner step at reference hyper-parameters — BCE loss through the
+frozen conv transfer, dense torch-semantics Adam over the full tables,
+on-device rejection-sampled negatives, batch 1024 (reference
+``model/transfer.py:417-534``; ``main_yelp.py:34-47``).
+
+Baseline: the same math implemented in PyTorch on CPU (the reference is
+pure PyTorch and this host has no CUDA), measured on a subset and scaled.
+``vs_baseline`` = our examples/s / torch-CPU examples/s.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_USERS, N_ITEMS, DIM = 100_000, 20_000, 64
+N_INTER = 500_000
+BATCH = 1024
+TIMED_EPOCHS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_data(rng):
+    users = rng.integers(0, N_USERS, N_INTER)
+    items = (rng.pareto(1.2, N_INTER) * 50).astype(np.int64) % N_ITEMS
+    inter = np.stack([users, items], axis=1)
+    return np.unique(inter, axis=0)
+
+
+def bench_jax(inter):
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.config import SMLConfig, TransferConfig
+    from sml_tpu.train.engine import SMLEngine
+
+    cfg = SMLConfig(mf_batch_size=BATCH, latent_dim=DIM,
+                    transfer=TransferConfig(latent_dim=DIM),
+                    mf_sample="alone")
+    engine = SMLEngine(cfg, N_USERS, N_ITEMS)
+    state = engine.init_state()
+    state = engine.snapshot_last(state)
+    padded, index = engine.prep_inner(inter)
+
+    # warmup/compile
+    t0 = time.time()
+    state, losses = engine.inner_epoch(state, padded, index)
+    jax.block_until_ready(losses)
+    log(f"jax warmup (compile + 1 epoch): {time.time() - t0:.1f}s "
+        f"loss={float(losses.mean()):.4f} backend={jax.default_backend()}")
+
+    t0 = time.time()
+    for _ in range(TIMED_EPOCHS):
+        state, losses = engine.inner_epoch(state, padded, index)
+    jax.block_until_ready(losses)
+    dt = time.time() - t0
+    ex_per_s = TIMED_EPOCHS * inter.shape[0] / dt
+    log(f"jax: {TIMED_EPOCHS} epochs x {inter.shape[0]} examples in {dt:.2f}s"
+        f" -> {ex_per_s:,.0f} ex/s")
+
+    # secondary: fused full-table transfer refresh
+    t0 = time.time()
+    state = engine.refresh(state)
+    jax.block_until_ready(state.mf.user_emb)
+    log(f"full-table refresh (compile+run): {time.time() - t0:.2f}s")
+    t0 = time.time()
+    for _ in range(5):
+        state = engine.refresh(state)
+    jax.block_until_ready(state.mf.user_emb)
+    log(f"full-table refresh steady: {(time.time() - t0) / 5 * 1e3:.1f} ms "
+        f"for {N_USERS + N_ITEMS} rows")
+    return ex_per_s
+
+
+def bench_torch(inter, n_batches=6):
+    """Reference-equivalent inner loop in PyTorch on CPU (own implementation
+    of the same math: lookups -> x_com conv transfer -> BCE + L2 -> dense
+    Adam on the tables)."""
+    import torch
+
+    torch.manual_seed(0)
+    d = DIM
+    user_emb = torch.nn.Embedding(N_USERS, d)
+    item_emb = torch.nn.Embedding(N_ITEMS, d)
+    last_u = torch.randn(N_USERS, d)
+    last_i = torch.randn(N_ITEMS, d)
+
+    class Tower(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(1, 10, (3, 1))
+            self.c2 = torch.nn.Conv2d(10, 5, (1, 1))
+            self.f1 = torch.nn.Linear(5 * d, 512)
+            self.f2 = torch.nn.Linear(512, d)
+
+        def forward(self, x_t, x_hat):
+            g = lambda v: v * torch.sigmoid(1.702 * v)
+            com = (x_t * x_hat.detach()) / \
+                (x_t ** 2).sum(-1, keepdim=True).sqrt().clamp_min(1e-12)
+            img = torch.stack([x_t, x_hat, com.detach()], dim=1) \
+                .reshape(-1, 1, 3, d)
+            y = g(self.c1(img))
+            y = self.c2(y).reshape(-1, 5 * d)
+            return self.f2(g(self.f1(g(y))))
+
+    ut, it = Tower(), Tower()
+    opt = torch.optim.Adam(list(user_emb.parameters())
+                           + list(item_emb.parameters()), lr=0.01)
+    rng = np.random.default_rng(0)
+
+    n = min(n_batches * BATCH, inter.shape[0])
+    rows = inter[rng.permutation(inter.shape[0])[:n]]
+    t0 = time.time()
+    done = 0
+    for b in range(0, n, BATCH):
+        chunk = rows[b:b + BATCH]
+        u = torch.from_numpy(chunk[:, 0])
+        i = torch.from_numpy(chunk[:, 1])
+        j = torch.from_numpy(rng.integers(0, N_ITEMS, chunk.shape[0]))
+        opt.zero_grad()
+        nu = ut(last_u[u], user_emb(u))
+        ni = it(last_i[i], item_emb(i))
+        nj = it(last_i[j], item_emb(j))
+        pos = (nu * ni).sum(-1)
+        neg = (nu * nj).sum(-1)
+        loss = -torch.log(torch.sigmoid(pos) + 1e-15).mean() \
+            - torch.log(torch.sigmoid(-neg) + 1e-15).mean() \
+            + 1e-6 * 0.5 * (user_emb(u) ** 2 + item_emb(i) ** 2
+                            + item_emb(j) ** 2).sum()
+        loss.backward()
+        opt.step()
+        done += chunk.shape[0]
+    dt = time.time() - t0
+    ex_per_s = done / dt
+    log(f"torch-cpu: {done} examples in {dt:.2f}s -> {ex_per_s:,.0f} ex/s")
+    return ex_per_s
+
+
+def main():
+    rng = np.random.default_rng(42)
+    inter = make_data(rng)
+    log(f"workload: {inter.shape[0]} interactions, {N_USERS} users, "
+        f"{N_ITEMS} items, d={DIM}")
+
+    ours = bench_jax(inter)
+    try:
+        base = bench_torch(inter)
+        vs = ours / base
+    except Exception as e:  # torch missing/broken: report raw throughput
+        log(f"torch baseline failed: {e}")
+        vs = float("nan")
+
+    print(json.dumps({
+        "metric": "sml_inner_train_examples_per_s",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Command-line entry points.
+
+Replaces the reference's three entry scripts (``main_yelp.py``,
+``main_news.py``, ``model/baseline.py __main__``) with one typed CLI:
+
+    python -m sml_tpu sml       --data-root D --data-name yelp ...
+    python -m sml_tpu pretrain  --data-root D --data-name yelp ...
+    python -m sml_tpu baseline  --data-root D --method full|fine|spmf ...
+    python -m sml_tpu synth     --out D/synth ...
+
+Dataset presets carry the reference's per-dataset constants
+(``main_yelp.py:159-165``, ``main_news.py:221-227``,
+``model/baseline.py:624-625``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from sml_tpu import config as C
+
+
+def _dataspec(args) -> C.DataSpec:
+    if args.data_name == "yelp":
+        spec = C.yelp_data(args.data_root)
+    elif args.data_name in ("news", "adressa"):
+        spec = C.adressa_data(args.data_root)
+    else:
+        spec = C.DataSpec(root=args.data_root, name=args.data_name,
+                          num_periods=args.num_periods,
+                          online_train_start=args.online_train_start,
+                          online_test_start=args.online_test_start)
+    return spec
+
+
+def _add_data_args(p):
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--data-name", default="yelp")
+    p.add_argument("--num-periods", type=int, default=40)
+    p.add_argument("--online-train-start", type=int, default=10)
+    p.add_argument("--online-test-start", type=int, default=30)
+    p.add_argument("--metrics-jsonl", default=None,
+                   help="write structured metrics to this jsonl file")
+    p.add_argument("--checkpoint-dir", default=None)
+
+
+def cmd_sml(args) -> int:
+    from sml_tpu.train.driver import SMLDriver
+    from sml_tpu.train.engine import SMLEngine
+    from sml_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+    from sml_tpu.utils.logging import MetricsLogger
+    from sml_tpu.models.mf import MFParams
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = _dataspec(args)
+    preset = C.adressa_sml() if spec.name == "news" else C.yelp_sml()
+    cfg = preset.replace(
+        multi_num=args.multi_num if args.multi_num is not None else preset.multi_num,
+        mf_epochs=args.mf_epochs if args.mf_epochs is not None else preset.mf_epochs,
+        tr_epochs=args.tr_epochs if args.tr_epochs is not None else preset.tr_epochs,
+        mf_lr=args.mf_lr, mf_l2=args.mf_l2, tr_lr=args.tr_lr,
+        tr_l2=args.tr_l2, latent_dim=args.latent,
+        transfer=C.TransferConfig(latent_dim=args.latent,
+                                  kind=args.transfer_type),
+        mf_sample=args.mf_sample, tr_sample_type=args.tr_sample_type,
+        tr_stop=args.tr_stop, seed=args.seed)
+
+    logger = MetricsLogger(args.metrics_jsonl, echo=True)
+    driver = SMLDriver(cfg, spec, logger=logger)
+    engine = driver.engine
+
+    pretrained = None
+    if args.pre_model:
+        import numpy as _np
+        blob = _np.load(args.pre_model)
+        pretrained = MFParams(
+            user_emb=jnp.asarray(blob["user_emb"]),
+            item_emb=jnp.asarray(blob["item_emb"]),
+            user_bias=jnp.asarray(blob["user_bias"]),
+            item_bias=jnp.asarray(blob["item_bias"]))
+    state = engine.init_state(pretrained_mf=pretrained)
+
+    start = 0
+    if args.checkpoint_dir and latest_step(args.checkpoint_dir) is not None:
+        state, start, _ = restore_checkpoint(args.checkpoint_dir, state)
+        start += 1
+        print(f"resumed at period {start}", file=sys.stderr)
+
+    driver.feeder.reinit()
+    d_time = 0
+    while True:
+        if d_time >= start:
+            state, ok = driver.run_period(state, d_time)
+            if not ok:
+                break
+            if args.checkpoint_dir:
+                save_checkpoint(args.checkpoint_dir, d_time, state)
+        else:
+            driver.feeder.next_train(d_time)  # advance test cursor
+        d_time += 1
+
+    summary = driver.report.summary()
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def cmd_pretrain(args) -> int:
+    from sml_tpu.train.pretrain import pretrain_mf
+    from sml_tpu.utils.logging import MetricsLogger
+    import numpy as np
+
+    spec = _dataspec(args)
+    pcfg = C.PretrainConfig(lr=args.lr, l2_user=args.l2, l2_item=args.l2,
+                            batch_size=args.batch_size,
+                            max_epochs=args.epochs, latent_dim=args.latent,
+                            seed=args.seed)
+    period = args.period if args.period is not None \
+        else spec.online_test_start - 1
+    logger = MetricsLogger(args.metrics_jsonl, echo=True)
+    params, metrics = pretrain_mf(pcfg, spec, period, logger=logger)
+    np.savez(args.out,
+             user_emb=np.asarray(params.user_emb),
+             item_emb=np.asarray(params.item_emb),
+             user_bias=np.asarray(params.user_bias),
+             item_bias=np.asarray(params.item_bias))
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    from sml_tpu.train.baselines import BaselineDriver
+    from sml_tpu.models.mf import MFParams
+    from sml_tpu.utils.logging import MetricsLogger
+    import jax.numpy as jnp
+    import numpy as np
+
+    spec = _dataspec(args)
+    start = args.start_period if args.start_period is not None \
+        else spec.online_test_start
+    bcfg = C.BaselineConfig(
+        method=args.method, lr=args.lr, l2_user=args.l2, l2_item=args.l2,
+        epochs=args.epochs, batch_size=args.batch_size,
+        pool_size=args.pool_size, start_period=start,
+        pool_init_type=1 if spec.name == "news" else 0,
+        latent_dim=args.latent, seed=args.seed)
+    pretrained = None
+    if args.pre_model:
+        blob = np.load(args.pre_model)
+        pretrained = MFParams(
+            user_emb=jnp.asarray(blob["user_emb"]),
+            item_emb=jnp.asarray(blob["item_emb"]),
+            user_bias=jnp.asarray(blob["user_bias"]),
+            item_bias=jnp.asarray(blob["item_bias"]))
+    logger = MetricsLogger(args.metrics_jsonl, echo=True)
+    driver = BaselineDriver(bcfg, spec, pretrained=pretrained, logger=logger)
+    summary = driver.run()
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from sml_tpu.data.synthetic import SyntheticSpec, generate_synthetic_dataset
+
+    spec = SyntheticSpec(n_users=args.users, n_items=args.items,
+                         n_periods=args.periods,
+                         interactions_per_period=args.interactions,
+                         first_test_period=args.first_test,
+                         neg_num=args.neg_num, seed=args.seed)
+    info = generate_synthetic_dataset(args.out, spec)
+    print(json.dumps(dataclasses.asdict(info)))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("sml_tpu")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the axon environment pins "
+                        "JAX_PLATFORMS; this overrides it pre-init)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sml", help="run the SML sequential-retraining sweep")
+    _add_data_args(ps)
+    ps.add_argument("--pre-model", default=None,
+                    help=".npz from `pretrain` (reference --pre_model)")
+    ps.add_argument("--multi-num", type=int, default=None)
+    ps.add_argument("--mf-epochs", type=int, default=None)
+    ps.add_argument("--tr-epochs", type=int, default=None)
+    ps.add_argument("--mf-lr", type=float, default=0.01)
+    ps.add_argument("--mf-l2", type=float, default=1e-6)
+    ps.add_argument("--tr-lr", type=float, default=0.001)
+    ps.add_argument("--tr-l2", type=float, default=1e-4)
+    ps.add_argument("--latent", type=int, default=64)
+    ps.add_argument("--mf-sample", default="all", choices=["all", "alone"])
+    ps.add_argument("--tr-sample-type", default="alone",
+                    choices=["all", "alone"])
+    ps.add_argument("--tr-stop", action="store_true")
+    ps.add_argument("--transfer-type", default="conv_com",
+                    choices=["conv_com", "mlp_delta", "linear", "gru",
+                             "gated"])
+    ps.add_argument("--seed", type=int, default=2000)
+    ps.set_defaults(fn=cmd_sml)
+
+    pp = sub.add_parser("pretrain", help="pretrain the base MF model")
+    _add_data_args(pp)
+    pp.add_argument("--out", required=True, help="output .npz path")
+    pp.add_argument("--period", type=int, default=None,
+                    help="pretrain period (default online_test_start-1)")
+    pp.add_argument("--lr", type=float, default=0.01)
+    pp.add_argument("--l2", type=float, default=1e-5)
+    pp.add_argument("--epochs", type=int, default=200)
+    pp.add_argument("--batch-size", type=int, default=256)
+    pp.add_argument("--latent", type=int, default=64)
+    pp.add_argument("--seed", type=int, default=2000)
+    pp.set_defaults(fn=cmd_pretrain)
+
+    pb = sub.add_parser("baseline", help="full-retrain / fine-tune / SPMF")
+    _add_data_args(pb)
+    pb.add_argument("--method", default="full",
+                    choices=["full", "fine", "spmf"])
+    pb.add_argument("--pre-model", default=None)
+    pb.add_argument("--start-period", type=int, default=None)
+    pb.add_argument("--lr", type=float, default=0.01)
+    pb.add_argument("--l2", type=float, default=1e-5)
+    pb.add_argument("--epochs", type=int, default=20)
+    pb.add_argument("--batch-size", type=int, default=256)
+    pb.add_argument("--pool-size", type=int, default=0)
+    pb.add_argument("--latent", type=int, default=64)
+    pb.add_argument("--seed", type=int, default=2000)
+    pb.set_defaults(fn=cmd_baseline)
+
+    pg = sub.add_parser("synth", help="generate a synthetic dataset")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--users", type=int, default=2000)
+    pg.add_argument("--items", type=int, default=1000)
+    pg.add_argument("--periods", type=int, default=12)
+    pg.add_argument("--interactions", type=int, default=4000)
+    pg.add_argument("--first-test", type=int, default=4)
+    pg.add_argument("--neg-num", type=int, default=999)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,204 @@
+"""Typed configuration for the engine.
+
+The reference scatters configuration over three argparse groups per entry
+point (reference ``main_yelp.py:10-120``, ``main_news.py:8-115``) plus
+hard-coded per-dataset constants in ``__main__`` blocks
+(``main_yelp.py:159-165``, ``main_news.py:221-227``). Here everything is a
+frozen dataclass with per-dataset presets, and no behavior is keyed off
+dataset-name string comparisons.
+
+Only the flags that are *live* in the reference's final version are first
+class; reference flags documented as "not used in final version" are either
+dropped or kept with their default-off semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass(frozen=True)
+class DataSpec:
+    """On-disk dataset contract.
+
+    Mirrors the reference format (``data/dataset2.py:229-236``;
+    ``README.md:23-25``):
+
+    * ``<root>/information.npy`` — int array ``[n_interactions, n_users,
+      n_items]`` (cumulative maxima; tables are pre-allocated at these sizes).
+    * ``<root>/train/<p>.npy`` — int array ``(N_p, 2)`` of ``[user, item]``
+      interactions for period ``p``.
+    * ``<root>/test/<p>.npy`` — int array ``(M_p, 2 + neg_num)`` rows
+      ``[user, pos_item, neg_1..neg_k]`` for periods ``p >= first_test_file``.
+      These double as the presampled-negative training pool
+      (``data/dataset2.py:172-201``).
+    """
+
+    root: str
+    name: str
+    num_periods: int              # yelp: 40 (main_yelp.py:159), adressa: 63
+    online_train_start: int       # first period of online training (yelp 10, adressa 21)
+    online_test_start: int        # first ONLINE TEST period (yelp 30, adressa 48)
+    eval_neg_num: int = 999       # negatives per test row (README.md:25)
+
+    @property
+    def path(self) -> str:
+        return f"{self.root.rstrip('/')}/{self.name}"
+
+
+@dataclass(frozen=True)
+class TransferConfig:
+    """Conv transfer network Θ (reference ``model/conv_transfer.py:18-50,87-110``).
+
+    The live architecture is ``ConvTransfer_com``: per embedding row, stack
+    ``[x_t, x_hat, x_com]`` (x_com = stop-grad interaction channel), run a
+    channel-mixing "conv" (3->conv1_channels), 1x1 mix (->conv2_channels),
+    GELU(x·σ(1.702x)) activations, then FC(conv2_channels*d -> fc_hidden) and
+    FC(fc_hidden -> d). Separate user and item towers.
+    """
+
+    latent_dim: int = 64
+    conv1_channels: int = 10
+    conv2_channels: int = 5
+    fc_hidden: int = 512
+    # 'conv_com' is the paper architecture; 'mlp_delta' / 'linear' / 'gru' /
+    # 'gated' mirror the reference's unused alternatives (transfer.py:94-291)
+    # and are provided as capability parity.
+    kind: str = "conv_com"
+
+
+@dataclass(frozen=True)
+class SMLConfig:
+    """Hyper-parameters of the alternating SML loop.
+
+    Defaults are the reference's Yelp defaults (``main_yelp.py:24-83``,
+    ``README.md:32``).
+    """
+
+    # outer loop count per period (main_yelp.py:24)
+    multi_num: int = 10
+
+    # --- step 1: MF (inner) training (main_yelp.py:34-47) ---
+    mf_lr: float = 0.01
+    mf_epochs: int = 1
+    mf_l2: float = 1e-6              # reference --l2
+    mf_batch_size: int = 1024
+    latent_dim: int = 64
+    mf_sample: str = "all"           # 'all' = presampled neg column, 'alone' = rejection
+    # epochs used by MF when the TR_stop_ branch is active (transfer.py:796)
+    mf_epochs_when_tr_stopped: int = 2
+
+    # --- step 2: transfer (outer) training (main_yelp.py:67-83) ---
+    tr_lr: float = 0.001
+    tr_l2: float = 1e-4              # Adam weight decay on Θ (transfer.py:393)
+    tr_epochs: int = 1
+    tr_batch_size: int = 256
+    tr_sample_type: str = "alone"    # negatives from the period's own items
+    tr_stop: bool = False            # stop training Θ during online test periods
+    load_w_hat: bool = False         # restore MFbase <- W_hat after outer step
+
+    transfer: TransferConfig = field(default_factory=TransferConfig)
+
+    # loss used inside run_MF: the live default is BCE (conv_transfer.py:114)
+    use_bce: bool = True
+
+    # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
+    # on its compute_performance path (transfer.py:738-741), which is active
+    # for the default TR_sample_type='alone' + val given. Keep on by default.
+    refresh_after_outer_epoch: bool = True
+
+    # Metric-only evaluations the reference always runs (val eval before/after
+    # each inner epoch, transfer.py:444-446,517-519; eval per outer epoch,
+    # transfer.py:684-690,740). They never change training state; off by
+    # default for speed, enable for wall-clock-faithful parity runs.
+    eval_during_inner: bool = False
+    eval_during_outer: bool = False
+
+    # evaluation
+    topk: Sequence[int] = (5, 10, 20)
+    eval_batch_size: int = 1024
+
+    # on-device rejection sampling: candidate draws per row ('alone' mode)
+    neg_tries: int = 16
+
+    seed: int = 2000
+
+    # numerics
+    dtype: str = "float32"
+    # table init scale for fresh (non-pretrained) states; 1.0 = torch
+    # nn.Embedding default N(0,1)
+    emb_init_scale: float = 1.0
+
+    def replace(self, **kw) -> "SMLConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """Pretraining of the base MF model (reference ``model/baseline.py:161-223``).
+
+    The reference *loads* a pretrained checkpoint for SML
+    (``model/transfer.py:322-325``); the blobs are absent from the mount, so
+    the engine regenerates them with this protocol: BCE + per-side L2, Adam,
+    early stopping on recall@20 measured every ``eval_every`` epochs.
+    """
+
+    lr: float = 0.01
+    l2_user: float = 1e-5
+    l2_item: float = 1e-5
+    batch_size: int = 256
+    max_epochs: int = 200
+    eval_every: int = 2
+    patience: int = 50              # eval rounds without a new best (baseline.py:216)
+    seed: int = 2000
+    latent_dim: int = 64
+    neg_tries: int = 16
+    emb_init_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class BaselineConfig:
+    """Full-retrain / fine-tune / SPMF baselines (``model/baseline.py:102-556``)."""
+
+    method: str = "full"            # 'full' | 'fine' | 'spmf'
+    lr: float = 0.01
+    l2_user: float = 1e-5
+    l2_item: float = 1e-5
+    epochs: int = 20
+    batch_size: int = 256
+    neg_num: int = 1
+    pool_size: int = 0              # reservoir size (spmf only)
+    pool_init_type: int = 0         # 0: warm by reservoir update (yelp), 1: fill with latest (news)
+    start_period: int = 30          # yelp 30, adressa 48 (baseline.py:624-625)
+    early_stop: bool = False        # reference breaks only when pool_init_type==1
+    topk: Sequence[int] = (5, 10, 20)
+    eval_batch_size: int = 1024
+    latent_dim: int = 64
+    seed: int = 2000
+    neg_tries: int = 16
+
+
+def yelp_data(root: str) -> DataSpec:
+    """Yelp: 40 periods, online-train from 10, online-test 30-39
+    (``main_yelp.py:159-165``)."""
+    return DataSpec(root=root, name="yelp", num_periods=40,
+                    online_train_start=10, online_test_start=30)
+
+
+def adressa_data(root: str) -> DataSpec:
+    """Adressa ("news"): 63 periods, online-train from 21, online-test 48-62
+    (``main_news.py:221-227``)."""
+    return DataSpec(root=root, name="news", num_periods=63,
+                    online_train_start=21, online_test_start=48)
+
+
+def yelp_sml() -> SMLConfig:
+    """README yelp command: ``--MF_epochs=1 --TR_epochs=1 --multi_num=10``."""
+    return SMLConfig(multi_num=10, mf_epochs=1, tr_epochs=1)
+
+
+def adressa_sml() -> SMLConfig:
+    """README adressa command: ``--MF_epochs=2 --TR_epochs=2 --multi_num=7``."""
+    return SMLConfig(multi_num=7, mf_epochs=2, tr_epochs=2)

@@ -1,0 +1,74 @@
+"""Static-shape batching: bucketed padding + masked validity.
+
+XLA traces/compiles one program per distinct input shape, so feeding it the
+reference's per-period variable-length epochs naively would trigger a
+recompile per period. Instead:
+
+* row counts are padded up to a *bucket* (next multiple of a coarse
+  granularity — ≤ 1/``granularity`` waste, O(log) distinct shapes),
+* a float ``mask`` marks real rows; all losses/metrics are mask-weighted,
+* epochs shuffle **only the real rows** (random sort keys with ``+inf`` on
+  padding) so batch 0..ceil(N/B)-1 hold every real row and padding stays in
+  the tail batch — optimizer step *count* therefore matches the reference's
+  ``ceil(N/B)`` exactly,
+* the scan runs over the bucketed batch count and skips tail batches with a
+  ``lax.cond`` no-op, which preserves Adam state semantics exactly (a skipped
+  batch must not decay moments).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bucket_rows(n: int, multiple: int, granularity: int = 8) -> int:
+    """Round ``n`` up to a shape bucket: a multiple of ``multiple`` with at
+    most ``1/granularity`` relative slack beyond it."""
+    n = max(n, 1)
+    nb = -(-n // multiple)                      # ceil batches
+    if nb <= granularity:
+        return nb * multiple
+    # round batch count up to a multiple of its own top granularity chunk
+    step = 1 << max(0, (nb - 1).bit_length() - granularity.bit_length())
+    nb_b = -(-nb // step) * step
+    return nb_b * multiple
+
+
+class PaddedRows(NamedTuple):
+    rows: jax.Array    # (n_pad, C) int32
+    mask: jax.Array    # (n_pad,) float32, 1.0 for real rows
+    n_real: int        # true row count (host int)
+
+
+def pad_rows(arr: np.ndarray, batch_size: int,
+             granularity: int = 8) -> PaddedRows:
+    """Pad a host int array (N, C) to a bucketed shape and ship to device."""
+    n = arr.shape[0]
+    n_pad = bucket_rows(n, batch_size, granularity)
+    out = np.zeros((n_pad, arr.shape[1]), dtype=np.int32)
+    out[:n] = arr
+    mask = np.zeros((n_pad,), dtype=np.float32)
+    mask[:n] = 1.0
+    return PaddedRows(jnp.asarray(out), jnp.asarray(mask), n)
+
+
+def shuffle_real_first(key: jax.Array, rows: jax.Array,
+                       mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Random permutation that keeps padded rows at the tail.
+
+    Real rows get uniform sort keys, padded rows ``+inf``; argsort then
+    shuffles real rows into the leading positions. Shapes stay static.
+    """
+    r = jax.random.uniform(key, (rows.shape[0],))
+    r = jnp.where(mask > 0, r, jnp.inf)
+    order = jnp.argsort(r)
+    return rows[order], mask[order]
+
+
+def num_batches(n_real: jax.Array, batch_size: int) -> jax.Array:
+    """ceil(n_real / batch_size) as a traced scalar."""
+    return (n_real + batch_size - 1) // batch_size

@@ -1,0 +1,279 @@
+"""Retraining baselines: full-retrain, fine-tune, SPMF.
+
+Capability parity with ``model/baseline.py:68-556``:
+
+* **full-retrain** — each period, train on ALL history (``run_one_stage2``
+  with ``'not_only_new'``, ``baseline.py:306-386``);
+* **fine-tune** — newest period only (``'only_new'``);
+* **SPMF** (streaming MF) — reservoir pool ∪ new data, sampled with a
+  rank-derived softmax distribution (``run_one_stage`` + ``compute_R_W_P``,
+  ``baseline.py:227-304,448-476``), classic reservoir update
+  (``Reservious``, ``baseline.py:68-100``).
+
+Loss everywhere is mean-BCE + per-side summed L2 (``baseline.py:196-198``).
+The reservoir and stream bookkeeping are host-side numpy (they are stream
+logic, not compute); all training/eval math runs on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sml_tpu.config import BaselineConfig, DataSpec
+from sml_tpu.data.feeder import StreamingPeriods
+from sml_tpu.eval.evaluator import make_eval_fn
+from sml_tpu.models.mf import MFParams, init_mf, score_pairs
+from sml_tpu.ops.batching import pad_rows
+from sml_tpu.ops.metrics import weighted_period_average
+from sml_tpu.ops.sampling import PeriodIndex, build_period_index, sample_negatives
+from sml_tpu.train.optim import torch_adam
+from sml_tpu.train.steps import make_plain_mf_epoch
+from sml_tpu.utils.logging import MetricsLogger
+
+
+class Reservoir:
+    """Streaming reservoir over the interaction stream
+    (``model/baseline.py:68-100``): each new row is admitted with probability
+    ``len/(t+i+1)`` and overwrites a uniformly random slot."""
+
+    def __init__(self, length: int, rng: np.random.Generator):
+        self.len = length
+        self.pool = np.zeros((max(length, 1), 2), dtype=np.int64)
+        self.pool_have = 0
+        self.t = 0
+        self.rng = rng
+
+    def update(self, new_data: np.ndarray) -> None:
+        if self.len == 0:
+            return
+        if self.pool_have < self.len:
+            take = min(self.len - self.pool_have, new_data.shape[0])
+            self.pool[self.pool_have:self.pool_have + take] = new_data[:take]
+            self.pool_have += take
+            self.t += take
+            new_data = new_data[take:]
+        n = new_data.shape[0]
+        if n == 0:
+            return
+        p = self.len / (self.t + np.arange(n) + 1.0)
+        admit = self.rng.random(n) < p
+        selected = new_data[admit]
+        slots = self.rng.integers(0, self.len, selected.shape[0])
+        self.pool[slots] = selected
+        self.t += n
+
+    def init_pool(self, data: np.ndarray) -> None:
+        """Fill with the most recent rows (``baseline.py:94-100``;
+        ``pool_init_type=1``)."""
+        if self.len == 0:
+            return
+        self.pool[:] = data[-self.len:]
+        self.pool_have = self.len
+        self.t = data.shape[0]
+
+
+def rank_sampling_probs(mf: MFParams, pairs: jax.Array) -> jax.Array:
+    """SPMF's rank-softmax sampling distribution (``compute_R_W_P``,
+    ``baseline.py:448-476``): rank all pool pairs by model score descending,
+    weight ``w = exp(rank/N)``, normalize. Higher weight on *worse-ranked*
+    (poorly fit) interactions."""
+    scores = score_pairs(mf, pairs[:, 0], pairs[:, 1])
+    n = scores.shape[0]
+    order = jnp.argsort(-scores)
+    ranks = jnp.zeros(n, dtype=jnp.float32).at[order].set(
+        jnp.arange(1, n + 1, dtype=jnp.float32))
+    w = jnp.exp(ranks / n)
+    return w / jnp.sum(w)
+
+
+def _make_spmf_epoch(batch_size: int, l2_u: float, l2_i: float, tx,
+                     neg_tries: int):
+    """One SPMF epoch: ``ceil(N/B)`` weighted-draw batches
+    (``baseline.py:259-280``). The batch is drawn from the pool by inverse-CDF
+    over the rank-softmax probabilities; negatives are rejection-sampled
+    against the cumulative user history."""
+    from sml_tpu.ops.losses import bce_pair_loss, l2_embedding_penalty
+
+    def loss_fn(mfp, u, i, j):
+        pos = score_pairs(mfp, u, i)
+        neg = score_pairs(mfp, u, j)
+        ones = jnp.ones_like(pos)
+        xu, xi, xj = mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j]
+        return bce_pair_loss(pos, neg, ones) \
+            + l2_u * l2_embedding_penalty(ones, xu) \
+            + l2_i * l2_embedding_penalty(ones, xi, xj)
+
+    def epoch(mfp, opt, pairs, cdf, n_batches, key, hist_index: PeriodIndex):
+        def body(c, k):
+            mfp, opt = c
+            k1, k2 = jax.random.split(k)
+            u01 = jax.random.uniform(k1, (batch_size,))
+            idx = jnp.searchsorted(cdf, u01)
+            idx = jnp.clip(idx, 0, pairs.shape[0] - 1)
+            u = pairs[idx, 0]
+            i = pairs[idx, 1]
+            j = sample_negatives(hist_index, u, k2, neg_tries)
+            loss, grads = jax.value_and_grad(loss_fn)(mfp, u, i, j)
+            updates, opt = tx.update(grads, opt, mfp)
+            mfp = optax.apply_updates(mfp, updates)
+            return (mfp, opt), loss
+
+        keys = jax.random.split(key, n_batches)
+        (mfp, opt), losses = jax.lax.scan(body, (mfp, opt), keys)
+        return mfp, opt, losses
+
+    return epoch
+
+
+class BaselineDriver:
+    def __init__(self, cfg: BaselineConfig, spec: DataSpec,
+                 pretrained: Optional[MFParams] = None,
+                 logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.stream = StreamingPeriods(spec)
+        self.logger = logger or MetricsLogger(None)
+        info = self.stream.info
+        self.rng = np.random.default_rng(cfg.seed)
+        self.reservoir = Reservoir(cfg.pool_size, self.rng)
+
+        self.tx = torch_adam(cfg.lr, weight_decay=0.0)
+        self._epoch = jax.jit(
+            make_plain_mf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,
+                                self.tx, cfg.neg_tries),
+            donate_argnums=(0, 1))
+        self._spmf_epoch = jax.jit(
+            _make_spmf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,
+                             self.tx, cfg.neg_tries),
+            donate_argnums=(0, 1), static_argnames=("n_batches",))
+        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._probs = jax.jit(rank_sampling_probs)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self._key, kinit = jax.random.split(key)
+        if pretrained is not None:
+            # deep-copy: epochs donate self.mf, which would otherwise
+            # invalidate the caller's arrays
+            self.mf = jax.tree.map(lambda x: x.copy(), pretrained)
+        else:
+            self.mf = init_mf(kinit, info.n_users, info.n_items,
+                              cfg.latent_dim,
+                              emb_scale=cfg.emb_init_scale)
+        self.opt = self.tx.init(self.mf)
+
+        # cumulative item catalog + user history for SPMF's negative sampler
+        # (baseline.py:237,478-487)
+        self._hist_pairs: List[np.ndarray] = []
+
+        self.recall: List[List[float]] = []
+        self.ndcg: List[List[float]] = []
+        self.test_counts: List[int] = []
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def evaluate(self, test_rows: np.ndarray) -> Dict[int, Tuple[float, float]]:
+        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        sums = self._eval(self.mf, padded.rows, padded.mask)
+        n = max(padded.n_real, 1)
+        return {k: (float(h) / n, float(nd) / n)
+                for k, (h, nd) in sums.items()}
+
+    # ------------------------------------------------------------------ modes
+    def _train_offline(self, train_data: np.ndarray) -> None:
+        """full-retrain / fine-tune epochs (``run_one_stage2``)."""
+        padded = pad_rows(train_data, self.cfg.batch_size)
+        index = build_period_index(train_data, self.stream.info.n_items)
+        for _ in range(self.cfg.epochs):
+            self.mf, self.opt, _ = self._epoch(
+                self.mf, self.opt, padded.rows, padded.mask,
+                jnp.int32(padded.n_real), self._next_key(), index)
+
+    def _train_spmf(self, pool_data: np.ndarray) -> None:
+        """SPMF epochs over reservoir ∪ new data with rank-softmax draws."""
+        hist = np.concatenate(self._hist_pairs, axis=0)
+        hist_index = build_period_index(hist, self.stream.info.n_items)
+        pairs = jnp.asarray(pool_data[:, :2], dtype=jnp.int32)
+        n_batches = max(1, round(pool_data.shape[0] / self.cfg.batch_size))
+        for _ in range(self.cfg.epochs):
+            p = self._probs(self.mf, pairs)
+            cdf = jnp.cumsum(p)
+            self.mf, self.opt, _ = self._spmf_epoch(
+                self.mf, self.opt, pairs, cdf, n_batches=n_batches,
+                key=self._next_key(), hist_index=hist_index)
+
+    # ---------------------------------------------------------------- periods
+    def warm_reservoir(self, period: int) -> None:
+        """``base_train_not_train`` (``baseline.py:149-156``): seed the
+        reservoir with cumulative data before the first SPMF period."""
+        train, _ = self.stream.get_next(period, mode="not_only_new")
+        if train is None:
+            return
+        self._hist_pairs.append(train)
+        if self.cfg.pool_init_type == 1:
+            self.reservoir.init_pool(train)
+        else:
+            self.reservoir.update(train)
+
+    def run_one_period(self, period: int) -> bool:
+        method = self.cfg.method
+        mode = "not_only_new" if method == "full" else "only_new"
+        train, test = self.stream.get_next(period, mode=mode)
+        if train is None or test is None:
+            return False
+        t0 = time.time()
+        self.test_counts.append(int(test.shape[0]))
+
+        if method == "spmf":
+            self._hist_pairs.append(train)
+            pool = (np.concatenate(
+                [self.reservoir.pool[:self.reservoir.pool_have], train], axis=0)
+                if self.reservoir.pool_have > 0 else train)
+            self._train_spmf(pool)
+            self.reservoir.update(train)
+        else:
+            self._train_offline(train)
+
+        metrics = self.evaluate(test)
+        self.recall.append([metrics[k][0] for k in self.cfg.topk])
+        self.ndcg.append([metrics[k][1] for k in self.cfg.topk])
+        self.logger.log(kind="baseline_test", method=method, period=period,
+                        seconds=time.time() - t0,
+                        **{f"recall@{k}": metrics[k][0] for k in self.cfg.topk},
+                        **{f"ndcg@{k}": metrics[k][1] for k in self.cfg.topk})
+        return True
+
+    def run(self, max_periods: Optional[int] = None) -> Dict[str, float]:
+        """Sequential sweep from ``start_period`` (``run``,
+        ``baseline.py:505-556``); returns weighted val/test averages (the
+        baselines' protocol keeps the final period, ``baseline.py:546``)."""
+        if self.cfg.method == "spmf":
+            self.warm_reservoir(self.cfg.start_period - 1)
+        period = self.cfg.start_period
+        done = 0
+        while max_periods is None or done < max_periods:
+            if not self.run_one_period(period):
+                break
+            period += 1
+            done += 1
+        out: Dict[str, float] = {}
+        if self.test_counts:
+            rec = np.asarray(self.recall)
+            ndc = np.asarray(self.ndcg)
+            counts = np.asarray(self.test_counts)
+            for ki, k in enumerate(self.cfg.topk):
+                v, t = weighted_period_average(rec[:, ki], counts,
+                                               drop_last_test=False)
+                out[f"val_recall@{k}"] = float(v)
+                out[f"test_recall@{k}"] = float(t)
+                v, t = weighted_period_average(ndc[:, ki], counts,
+                                               drop_last_test=False)
+                out[f"val_ndcg@{k}"] = float(v)
+                out[f"test_ndcg@{k}"] = float(t)
+        return out

@@ -1,0 +1,170 @@
+"""The SML sequential-retraining driver.
+
+Reproduces the control flow of the reference driver ``meta_train``
+(``model/transfer.py:302-1031``) on top of the functional engine:
+
+per period t (``train_one_stage3``, ``transfer.py:753-881``):
+  1. snapshot ``last <- MF tables``
+  2. fetch (set_t, set_tt, now_test, val) from the feeder
+  3. branch A (warm-up) / B (tr_stop) / C (test), each alternating
+     ``multi_num`` phases of [inner MF epochs -> snapshot hat -> refresh ->
+     (test at phase 0 in C) -> outer transfer epochs (+ per-epoch refresh)]
+  4. final refresh
+
+and the end-of-run weighted aggregation (``transfer.py:991-1025``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sml_tpu.config import DataSpec, SMLConfig
+from sml_tpu.data.feeder import PeriodFeeder, StageData
+from sml_tpu.ops.metrics import weighted_period_average
+from sml_tpu.train.engine import SMLEngine, SMLState
+from sml_tpu.utils.logging import MetricsLogger
+
+
+@dataclass
+class RunReport:
+    topks: tuple
+    per_period: Dict[int, List[float]] = field(default_factory=dict)   # K -> recalls
+    per_period_ndcg: Dict[int, List[float]] = field(default_factory=dict)
+    test_counts: List[int] = field(default_factory=list)
+    period_seconds: List[float] = field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        """Weighted val/test averages per K (``transfer.py:991-1025``)."""
+        out: Dict[str, float] = {}
+        counts = np.asarray(self.test_counts)
+        if counts.size == 0:
+            return out
+        for k in self.topks:
+            for name, arr in (("recall", self.per_period[k]),
+                              ("ndcg", self.per_period_ndcg[k])):
+                val, test = weighted_period_average(arr, counts)
+                out[f"val_{name}@{k}"] = float(val)
+                out[f"test_{name}@{k}"] = float(test)
+        out["total_seconds"] = float(sum(self.period_seconds))
+        return out
+
+
+class SMLDriver:
+    def __init__(self, cfg: SMLConfig, spec: DataSpec,
+                 engine: Optional[SMLEngine] = None,
+                 logger: Optional[MetricsLogger] = None):
+        self.cfg = cfg
+        self.feeder = PeriodFeeder(
+            spec, mf_sample=cfg.mf_sample, tr_sample_type=cfg.tr_sample_type,
+            tr_stop=cfg.tr_stop)
+        self.engine = engine or SMLEngine(
+            cfg, self.feeder.n_users, self.feeder.n_items)
+        self.logger = logger or MetricsLogger(None)
+        self.report = RunReport(topks=tuple(cfg.topk))
+
+    # ------------------------------------------------------------------ phases
+    def _inner_block(self, state: SMLState, set_t: np.ndarray,
+                     epochs: int, val: Optional[np.ndarray]) -> SMLState:
+        """``MF_train_onestage`` (``transfer.py:417-534``)."""
+        padded, index = self.engine.prep_inner(set_t)
+        for e in range(epochs):
+            state, losses = self.engine.inner_epoch(state, padded, index)
+            if self.cfg.eval_during_inner and val is not None:
+                m = self.engine.evaluate(state.mf, val)
+                self.logger.log(kind="inner_eval", epoch=e, **_flatten(m))
+        return state
+
+    def _outer_block(self, state: SMLState, set_tt: np.ndarray,
+                     val: Optional[np.ndarray]) -> SMLState:
+        """``transfer_train_onestage`` (``transfer.py:644-749``), including
+        the per-epoch MF refresh of its compute_performance path
+        (``:738-741``)."""
+        padded, index = self.engine.prep_outer(set_tt)
+        for e in range(self.cfg.tr_epochs):
+            state, losses = self.engine.outer_epoch(state, padded, index)
+            if self.cfg.refresh_after_outer_epoch:
+                state = self.engine.refresh(state)
+                if self.cfg.eval_during_outer and val is not None:
+                    m = self.engine.evaluate(state.mf, val)
+                    self.logger.log(kind="outer_eval", epoch=e, **_flatten(m))
+        if self.cfg.load_w_hat:
+            state = self.engine.load_hat_into_mf(state)
+        return state
+
+    def _record_test(self, state: SMLState, now_test: np.ndarray,
+                     period: int) -> None:
+        metrics = self.engine.evaluate(state.mf, now_test)
+        self.report.test_counts.append(int(now_test.shape[0]))
+        for k, m in metrics.items():
+            self.report.per_period.setdefault(k, []).append(m["recall"])
+            self.report.per_period_ndcg.setdefault(k, []).append(m["ndcg"])
+        self.logger.log(kind="test", period=period,
+                        n_test=int(now_test.shape[0]), **_flatten(metrics))
+
+    # ----------------------------------------------------------------- periods
+    def run_period(self, state: SMLState, d_time: int):
+        """One period; returns (state, still_running)."""
+        t0 = time.time()
+        state = self.engine.snapshot_last(state)
+        sd: StageData = self.feeder.next_train(d_time)
+        if sd.set_t is None:
+            return state, False
+
+        if sd.now_test is None:
+            # branch A: warm-up (transfer.py:772-792)
+            for _phase in range(self.cfg.multi_num):
+                state = self._inner_block(state, sd.set_t,
+                                          self.cfg.mf_epochs, sd.val)
+                state = self.engine.snapshot_hat(state)
+                state = self.engine.refresh(state)
+                state = self._outer_block(state, sd.set_tt, sd.val)
+            state = self.engine.refresh(state)
+        elif sd.set_tt is None:
+            # branch B: tr_stop during the test span (transfer.py:793-825)
+            state = self._inner_block(state, sd.set_t,
+                                      self.cfg.mf_epochs_when_tr_stopped,
+                                      sd.val)
+            state = self.engine.snapshot_hat(state)
+            state = self.engine.refresh(state)
+            self._record_test(state, sd.now_test, d_time)
+        else:
+            # branch C: test + keep training Θ (transfer.py:826-881)
+            for phase in range(self.cfg.multi_num):
+                state = self._inner_block(state, sd.set_t,
+                                          self.cfg.mf_epochs, sd.val)
+                state = self.engine.snapshot_hat(state)
+                state = self.engine.refresh(state)
+                if phase == 0:
+                    self._record_test(state, sd.now_test, d_time)
+                state = self._outer_block(state, sd.set_tt, sd.val)
+            state = self.engine.refresh(state)
+
+        dt = time.time() - t0
+        self.report.period_seconds.append(dt)
+        self.logger.log(kind="period", d_time=d_time, seconds=dt)
+        return state, True
+
+    def run(self, state: Optional[SMLState] = None,
+            max_periods: Optional[int] = None) -> RunReport:
+        """Full sweep (``meta_train.run``, ``transfer.py:965-1029``)."""
+        if state is None:
+            state = self.engine.init_state()
+        self.feeder.reinit()
+        d_time = 0
+        while max_periods is None or d_time < max_periods:
+            state, ok = self.run_period(state, d_time)
+            if not ok:
+                break
+            d_time += 1
+        self.final_state = state
+        self.logger.log(kind="summary", **self.report.summary())
+        return self.report
+
+
+def _flatten(metrics: Dict[int, Dict[str, float]]) -> Dict[str, float]:
+    return {f"{name}@{k}": v for k, m in metrics.items()
+            for name, v in m.items()}

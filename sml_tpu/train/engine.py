@@ -1,0 +1,157 @@
+"""SML engine: compiled callables + functional state.
+
+Assembles the jitted inner/outer epochs, the full-table refresh and the
+evaluator for a fixed config, and owns the host-side data preparation
+(bucketed padding, period sampling indices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sml_tpu.config import SMLConfig
+from sml_tpu.eval.evaluator import make_eval_fn
+from sml_tpu.models import transfer as transfer_mod
+from sml_tpu.models.mf import MFParams, init_mf, with_tables
+from sml_tpu.models.transfer import TransferParams, init_transfer
+from sml_tpu.ops.batching import PaddedRows, pad_rows
+from sml_tpu.ops.sampling import PeriodIndex, build_period_index
+from sml_tpu.train.optim import torch_adam
+from sml_tpu.train.steps import make_inner_epoch, make_outer_epoch
+
+
+class SMLState(NamedTuple):
+    """Everything that evolves across periods (``SURVEY.md`` §7 state record).
+
+    Functional analogue of the reference's snapshot plumbing
+    (``model/transfer.py:358-364,911-959``): ``last_*`` = W_{t-1},
+    ``hat_*`` = W_hat_t, refreshed by ``save_MF_weight`` / ``updata``.
+    """
+    mf: MFParams
+    theta: TransferParams
+    last_user: jax.Array
+    last_item: jax.Array
+    hat_user: jax.Array
+    hat_item: jax.Array
+    mf_opt: object
+    tr_opt: object
+    key: jax.Array
+
+
+class SMLEngine:
+    def __init__(self, cfg: SMLConfig, n_users: int, n_items: int):
+        self.cfg = cfg
+        self.n_users = n_users
+        self.n_items = n_items
+        self.mf_tx = torch_adam(cfg.mf_lr, weight_decay=0.0)
+        self.tr_tx = torch_adam(cfg.tr_lr, weight_decay=cfg.tr_l2)
+
+        self._inner = jax.jit(make_inner_epoch(cfg, self.mf_tx),
+                              donate_argnums=(0, 1))
+        self._outer = jax.jit(make_outer_epoch(cfg, self.tr_tx),
+                              donate_argnums=(0, 1))
+        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._refresh = jax.jit(functools.partial(
+            transfer_mod.apply_tables, cfg=cfg.transfer))
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, pretrained_mf: Optional[MFParams] = None) -> SMLState:
+        """Fresh state. ``last`` starts at zeros, ``hat`` at the (pretrained)
+        tables (``model/transfer.py:358-364``); the zero ``last`` is never
+        consumed because every period snapshots ``last`` first
+        (``transfer.py:766``)."""
+        key = jax.random.PRNGKey(self.cfg.seed)
+        kmf, ktr, krun = jax.random.split(key, 3)
+        if pretrained_mf is not None:
+            # deep-copy: epochs donate the state, which would otherwise
+            # invalidate the caller's arrays
+            mf = jax.tree.map(lambda x: x.copy(), pretrained_mf)
+        else:
+            mf = init_mf(kmf, self.n_users, self.n_items,
+                         self.cfg.latent_dim,
+                         emb_scale=self.cfg.emb_init_scale)
+        theta = init_transfer(ktr, self.cfg.transfer)
+        return SMLState(
+            mf=mf,
+            theta=theta,
+            last_user=jnp.zeros_like(mf.user_emb),
+            last_item=jnp.zeros_like(mf.item_emb),
+            hat_user=mf.user_emb.copy(),
+            hat_item=mf.item_emb.copy(),
+            mf_opt=self.mf_tx.init(mf),
+            tr_opt=self.tr_tx.init(theta),
+            key=krun,
+        )
+
+    def _next_key(self, state: SMLState) -> Tuple[SMLState, jax.Array]:
+        k1, k2 = jax.random.split(state.key)
+        return state._replace(key=k1), k2
+
+    # ------------------------------------------------------------- data prep
+    def prep_inner(self, set_t: np.ndarray):
+        padded = pad_rows(set_t, self.cfg.mf_batch_size)
+        index = (build_period_index(set_t, self.n_items)
+                 if self.cfg.mf_sample == "alone" else None)
+        return padded, index
+
+    def prep_outer(self, set_tt: np.ndarray):
+        padded = pad_rows(set_tt, self.cfg.tr_batch_size)
+        index = (build_period_index(set_tt, self.n_items)
+                 if self.cfg.tr_sample_type == "alone" else None)
+        return padded, index
+
+    # ------------------------------------------------------------ operations
+    def snapshot_last(self, state: SMLState) -> SMLState:
+        """``save_MF_weight('last')`` (``transfer.py:925-927``)."""
+        return state._replace(last_user=state.mf.user_emb.copy(),
+                              last_item=state.mf.item_emb.copy())
+
+    def snapshot_hat(self, state: SMLState) -> SMLState:
+        """``save_MF_weight('hat')`` (``transfer.py:928-933``)."""
+        return state._replace(hat_user=state.mf.user_emb.copy(),
+                              hat_item=state.mf.item_emb.copy())
+
+    def load_hat_into_mf(self, state: SMLState) -> SMLState:
+        """``load_MFbase_weight(hat)`` — the ``Load_W_hat`` option
+        (``transfer.py:788-789``)."""
+        return state._replace(mf=with_tables(
+            state.mf, state.hat_user.copy(), state.hat_item.copy()))
+
+    def refresh(self, state: SMLState) -> SMLState:
+        """``updata``: MF tables <- Θ(last, hat) (``transfer.py:884-902``)."""
+        new_u, new_i = self._refresh(
+            theta=state.theta,
+            last_user=state.last_user, hat_user=state.hat_user,
+            last_item=state.last_item, hat_item=state.hat_item)
+        return state._replace(mf=with_tables(state.mf, new_u, new_i))
+
+    def inner_epoch(self, state: SMLState, padded: PaddedRows,
+                    index: Optional[PeriodIndex]):
+        state, k = self._next_key(state)
+        mf, opt, losses = self._inner(
+            state.mf, state.mf_opt, state.theta, state.last_user,
+            state.last_item, padded.rows, padded.mask,
+            jnp.int32(padded.n_real), k, index)
+        return state._replace(mf=mf, mf_opt=opt), losses
+
+    def outer_epoch(self, state: SMLState, padded: PaddedRows,
+                    index: Optional[PeriodIndex]):
+        state, k = self._next_key(state)
+        theta, opt, losses = self._outer(
+            state.theta, state.tr_opt, state.last_user, state.last_item,
+            state.hat_user, state.hat_item, padded.rows, padded.mask,
+            jnp.int32(padded.n_real), k, index)
+        return state._replace(theta=theta, tr_opt=opt), losses
+
+    def evaluate(self, mf: MFParams, test_rows: np.ndarray) -> Dict[int, Dict[str, float]]:
+        """recall@K / NDCG@K over eval-format rows; all Ks in one pass."""
+        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        sums = self._eval(mf, padded.rows, padded.mask)
+        n = max(padded.n_real, 1)
+        return {k: {"recall": float(h) / n, "ndcg": float(nd) / n}
+                for k, (h, nd) in sums.items()}

@@ -1,0 +1,195 @@
+"""Jitted training epochs: the reference's Python batch loops as lax.scans.
+
+Each epoch is ONE device program: shuffle (real rows first), then scan over a
+bucketed batch count, `lax.cond`-skipping tail batches so the optimizer step
+count equals the reference's ``ceil(N/B)`` exactly and Adam moments are never
+decayed by phantom steps.
+
+Gradient-flow fidelity (the SURVEY.md §7 "hard part"):
+
+* inner epoch (``MF_train_onestage``, ``model/transfer.py:417-534``): the
+  loss is computed **through the frozen transfer** — lookups of the
+  ``last`` snapshots are constants, MF-table lookups are the trainable
+  W_hat-in-progress, and only the MF pytree is differentiated (the reference
+  zeroes Θ's grads and steps only ``MF_optimizer``, ``:464-511``);
+* outer epoch (``transfer_train_onestage``, ``:644-749``): lookups come from
+  the detached ``last``/``hat`` snapshot tables (plain tensors in the
+  reference, ``:707-712``) so only Θ receives gradients — the first-order
+  meta-gradient of the paper's Eq. 8. Here that is simply "differentiate
+  w.r.t. theta with the tables as non-diff arguments".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from sml_tpu.config import SMLConfig, TransferConfig
+from sml_tpu.models.transfer import TransferParams, apply_rows
+from sml_tpu.ops.batching import num_batches, shuffle_real_first
+from sml_tpu.ops.losses import bce_pair_loss, bpr_loss, l2_embedding_penalty
+from sml_tpu.ops.sampling import PeriodIndex, sample_negatives
+
+
+def scan_epoch(carry, rows, mask, n_real, key, batch_size, step_fn):
+    """Shuffle + scan one epoch. ``step_fn(carry, rows_b, mask_b, key) ->
+    (carry, loss)``; tail batches beyond ``ceil(n_real/B)`` are skipped."""
+    kshuf, kscan = jax.random.split(key)
+    rows, mask = shuffle_real_first(kshuf, rows, mask)
+    nb_max = rows.shape[0] // batch_size
+    nb_real = num_batches(n_real, batch_size)
+    keys = jax.random.split(kscan, nb_max)
+
+    def body(c, xs):
+        i, k = xs
+
+        def real(c):
+            r = lax.dynamic_slice_in_dim(rows, i * batch_size, batch_size)
+            m = lax.dynamic_slice_in_dim(mask, i * batch_size, batch_size)
+            return step_fn(c, r, m, k)
+
+        def skip(c):
+            return c, jnp.float32(0.0)
+
+        return lax.cond(i < nb_real, real, skip, c)
+
+    carry, losses = lax.scan(body, carry, (jnp.arange(nb_max), keys))
+    return carry, losses
+
+
+def transferred_pair_loss(theta: TransferParams, tcfg: TransferConfig,
+                          lu, li, lj, xu, xi, xj, mask, use_bce: bool):
+    """Score a (u, i, j) triple through Θ and reduce to the SML loss
+    (``ConvTransfer_com.run_MF``, ``conv_transfer.py:113-135``)."""
+    nu = apply_rows(theta, tcfg, "user", lu, xu)
+    ni = apply_rows(theta, tcfg, "item", li, xi)
+    nj = apply_rows(theta, tcfg, "item", lj, xj)
+    pos = jnp.sum(nu * ni, axis=-1)
+    neg = jnp.sum(nu * nj, axis=-1)
+    if use_bce:
+        return bce_pair_loss(pos, neg, mask)
+    return bpr_loss(pos, neg, mask)
+
+
+def _neg_column(r, col):
+    """Pick the epoch's presampled negative column (traced index)."""
+    return lax.dynamic_slice_in_dim(r, 2 + col, 1, axis=1)[:, 0]
+
+
+def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
+    """Inner (MF) epoch; trains the MF pytree through frozen Θ."""
+    tcfg = cfg.transfer
+    batch = cfg.mf_batch_size
+    mode = cfg.mf_sample
+
+    def loss_fn(mfp, theta, last_u, last_i, u, i, j, m):
+        xu = mfp.user_emb[u]
+        xi = mfp.item_emb[i]
+        xj = mfp.item_emb[j]
+        loss = transferred_pair_loss(theta, tcfg, last_u[u], last_i[i],
+                                     last_i[j], xu, xi, xj, m, cfg.use_bce)
+        # l2 * 0.5 * sum over batch embeddings (transfer.py:486-488)
+        return loss + cfg.mf_l2 * l2_embedding_penalty(m, xu, xi, xj)
+
+    def epoch(mfp, opt, theta, last_u, last_i, rows, mask, n_real, key,
+              index: Optional[PeriodIndex] = None):
+        kcol, krest = jax.random.split(key)
+        col = (jax.random.randint(kcol, (), 0, rows.shape[1] - 2)
+               if mode == "all" else None)
+
+        def step(c, r, m, k):
+            mfp, opt = c
+            u, i = r[:, 0], r[:, 1]
+            if mode == "all":
+                j = _neg_column(r, col)
+            else:
+                j = sample_negatives(index, u, k, cfg.neg_tries)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                mfp, theta, last_u, last_i, u, i, j, m)
+            updates, opt = mf_tx.update(grads, opt, mfp)
+            mfp = optax.apply_updates(mfp, updates)
+            return (mfp, opt), loss
+
+        (mfp, opt), losses = scan_epoch((mfp, opt), rows, mask, n_real,
+                                        krest, batch, step)
+        return mfp, opt, losses
+
+    return epoch
+
+
+def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
+    """Outer (transfer) epoch; trains Θ on detached snapshot lookups."""
+    tcfg = cfg.transfer
+    batch = cfg.tr_batch_size
+    mode = cfg.tr_sample_type
+
+    def loss_fn(theta, last_u, last_i, hat_u, hat_i, u, i, j, m):
+        return transferred_pair_loss(
+            theta, tcfg, last_u[u], last_i[i], last_i[j],
+            hat_u[u], hat_i[i], hat_i[j], m, cfg.use_bce)
+
+    def epoch(theta, opt, last_u, last_i, hat_u, hat_i, rows, mask, n_real,
+              key, index: Optional[PeriodIndex] = None):
+        kcol, krest = jax.random.split(key)
+        col = (jax.random.randint(kcol, (), 0, rows.shape[1] - 2)
+               if mode == "all" else None)
+
+        def step(c, r, m, k):
+            theta, opt = c
+            u, i = r[:, 0], r[:, 1]
+            if mode == "all":
+                j = _neg_column(r, col)
+            else:
+                j = sample_negatives(index, u, k, cfg.neg_tries)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                theta, last_u, last_i, hat_u, hat_i, u, i, j, m)
+            updates, opt = tr_tx.update(grads, opt, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt), loss
+
+        (theta, opt), losses = scan_epoch((theta, opt), rows, mask, n_real,
+                                          krest, batch, step)
+        return theta, opt, losses
+
+    return epoch
+
+
+def make_plain_mf_epoch(batch_size: int, l2_user: float, l2_item: float,
+                        tx: optax.GradientTransformation, neg_tries: int = 16,
+                        biased: bool = False):
+    """Plain BCE-MF epoch for the pretrainer / full-retrain / fine-tune
+    baselines (``model/baseline.py:179-201,338-361``): mean-BCE plus per-side
+    summed L2, uniform rejection-sampled negatives."""
+    from sml_tpu.models.mf import score_pairs, score_pairs_biased
+    score = score_pairs_biased if biased else score_pairs
+
+    def loss_fn(mfp, u, i, j, m):
+        pos = score(mfp, u, i)
+        neg = score(mfp, u, j)
+        xu = mfp.user_emb[u]
+        xi = mfp.item_emb[i]
+        xj = mfp.item_emb[j]
+        bce = bce_pair_loss(pos, neg, m)
+        l2 = l2_user * l2_embedding_penalty(m, xu) \
+            + l2_item * l2_embedding_penalty(m, xi, xj)
+        return bce + l2
+
+    def epoch(mfp, opt, rows, mask, n_real, key, index: PeriodIndex):
+        def step(c, r, m, k):
+            mfp, opt = c
+            u, i = r[:, 0], r[:, 1]
+            j = sample_negatives(index, u, k, neg_tries)
+            loss, grads = jax.value_and_grad(loss_fn)(mfp, u, i, j, m)
+            updates, opt = tx.update(grads, opt, mfp)
+            mfp = optax.apply_updates(mfp, updates)
+            return (mfp, opt), loss
+
+        (mfp, opt), losses = scan_epoch((mfp, opt), rows, mask, n_real,
+                                        key, batch_size, step)
+        return mfp, opt, losses
+
+    return epoch
