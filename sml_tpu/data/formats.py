@@ -75,28 +75,39 @@ def write_dataset(path: str,
                 np.asarray(new_item_ids, dtype=np.int64))
 
 
-def build_eval_rows(interactions: np.ndarray,
-                    user_hist: Dict[int, set],
-                    item_catalog: np.ndarray,
-                    neg_num: int,
-                    rng: np.random.Generator) -> np.ndarray:
-    """Attach ``neg_num`` sampled negatives to each interaction.
+def attach_negatives(interactions: np.ndarray, history: np.ndarray,
+                     catalog: np.ndarray, neg_num: int,
+                     seed: int = 0) -> np.ndarray:
+    """Attach ``neg_num`` distinct sampled negatives to each interaction.
 
-    Re-implements the offline preprocessor ``select_neg_forinteraction``
-    (``data/dataset2.py:356-414``): negatives are drawn from the seen-item
-    catalog, excluding the user's full history, deduplicated, shuffled, and
-    truncated to ``neg_num`` per row.
+    Offline preprocessor with the contract of ``select_neg_forinteraction``
+    (``data/dataset2.py:356-414``): negatives drawn from the seen-item
+    ``catalog``, excluding the user's full ``history`` (all known (u, i)
+    pairs), distinct within a row. Uses the native C++ kernel when the
+    toolchain is available (~100x), numpy otherwise.
     """
+    from sml_tpu.data.native import build_eval_rows_native
+    out = build_eval_rows_native(interactions, history, catalog, neg_num,
+                                 seed=seed)
+    if out is not None:
+        return out
+
+    rng = np.random.default_rng(seed)
+    user_hist: Dict[int, set] = {}
+    for u, i in history:
+        user_hist.setdefault(int(u), set()).add(int(i))
     out = np.empty((interactions.shape[0], 2 + neg_num), dtype=np.int64)
-    n_cat = item_catalog.shape[0]
+    n_cat = catalog.shape[0]
     for r, (u, i) in enumerate(interactions):
         hist = user_hist.get(int(u), set())
-        # oversample-then-filter, growing the oversample on collision-heavy users
+        # oversample-then-filter, growing the oversample on collision-heavy
+        # users
         mult = 2
         while True:
-            cand = item_catalog[rng.integers(0, n_cat, size=neg_num * mult + 64)]
+            cand = catalog[rng.integers(0, n_cat, size=neg_num * mult + 64)]
             cand = np.unique(cand)
-            cand = cand[~np.isin(cand, list(hist), assume_unique=False)] if hist else cand
+            if hist:
+                cand = cand[~np.isin(cand, list(hist), assume_unique=False)]
             if cand.shape[0] >= neg_num:
                 break
             mult *= 2

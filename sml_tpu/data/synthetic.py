@@ -24,7 +24,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from sml_tpu.data.formats import DatasetInfo, build_eval_rows, write_dataset
+from sml_tpu.data.formats import DatasetInfo, attach_negatives, write_dataset
 
 
 @dataclass(frozen=True)
@@ -60,8 +60,7 @@ def generate_synthetic_dataset(path: str, spec: SyntheticSpec) -> DatasetInfo:
         return max(32, int(U * frac)), max(32, int(I * frac))
 
     train_periods = []
-    user_hist: Dict[int, set] = {}
-    seen_items: set = set()
+    test_periods = {}
     users_seen_before_test: set = set()
     items_seen_before_test: set = set()
 
@@ -78,18 +77,18 @@ def generate_synthetic_dataset(path: str, spec: SyntheticSpec) -> DatasetInfo:
         items = slate[np.arange(slate.shape[0]), logits.argmax(axis=1)]
         inter = np.stack([users, items], axis=1).astype(np.int64)
         train_periods.append(inter)
-        for u, i in inter:
-            user_hist.setdefault(int(u), set()).add(int(i))
-            seen_items.add(int(i))
         if p < spec.first_test_period:
             users_seen_before_test.update(int(u) for u in users)
             items_seen_before_test.update(int(i) for i in items)
-
-    test_periods = {}
-    for p in range(spec.first_test_period, spec.n_periods):
-        catalog = np.array(sorted(seen_items), dtype=np.int64)
-        test_periods[p] = build_eval_rows(train_periods[p], user_hist,
-                                          catalog, spec.neg_num, rng)
+        else:
+            # negatives use the history/catalog known *through period p*,
+            # like the incremental reference preprocessor
+            # (dataset2.py:376-399) — never future interactions
+            history = np.concatenate(train_periods, axis=0)
+            catalog = np.unique(history[:, 1])
+            test_periods[p] = attach_negatives(
+                inter, history, catalog, spec.neg_num,
+                seed=spec.seed * 1000 + p)
 
     all_users = np.unique(np.concatenate([t[:, 0] for t in train_periods]))
     all_items = np.unique(np.concatenate([t[:, 1] for t in train_periods]))

@@ -21,8 +21,10 @@ def test_synthetic_contract(synthetic_dataset):
         assert tr[:, 1].max() < info.n_items
 
     # eval rows: [u, pos, negs...]; negatives must avoid the user's history
+    # as known THROUGH that period (the incremental reference contract,
+    # dataset2.py:376-399)
     hist = {}
-    for p in range(spec.n_periods):
+    for p in range(spec.first_test_period + 1):
         for u, i in load_train(dspec.path, p):
             hist.setdefault(int(u), set()).add(int(i))
     rows = load_test(dspec.path, spec.first_test_period)
