@@ -123,6 +123,12 @@ class SMLConfig:
     # on-device rejection sampling: candidate draws per row ('alone' mode)
     neg_tries: int = 16
 
+    # multi-pass offline Θ training (reference --pass_num + the stage>=19
+    # early break for non-final passes, transfer.py:976-988). pass_num=1 is
+    # the paper configuration.
+    pass_num: int = 1
+    multipass_stop_stage: int = 19
+
     seed: int = 2000
 
     # numerics
@@ -178,6 +184,7 @@ class BaselineConfig:
     latent_dim: int = 64
     seed: int = 2000
     neg_tries: int = 16
+    emb_init_scale: float = 1.0
 
 
 def yelp_data(root: str) -> DataSpec:

@@ -27,7 +27,7 @@ import optax
 
 from sml_tpu.config import BaselineConfig, DataSpec
 from sml_tpu.data.feeder import StreamingPeriods
-from sml_tpu.eval.evaluator import make_eval_fn
+from sml_tpu.eval.evaluator import make_attributed_eval_fn, make_eval_fn
 from sml_tpu.models.mf import MFParams, init_mf, score_pairs
 from sml_tpu.ops.batching import pad_rows
 from sml_tpu.ops.metrics import weighted_period_average
@@ -152,7 +152,17 @@ class BaselineDriver:
                              self.tx, cfg.neg_tries),
             donate_argnums=(0, 1), static_argnames=("n_batches",))
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._eval_attr = jax.jit(
+            make_attributed_eval_fn(cfg.topk, cfg.eval_batch_size))
         self._probs = jax.jit(rank_sampling_probs)
+
+        # new-entity masks for hit attribution (baseline.py:120-121,419-421)
+        self._is_new_user = jnp.zeros(info.n_users, jnp.float32).at[
+            jnp.asarray(self.stream.test_new_user, jnp.int32)].set(1.0) \
+            if self.stream.test_new_user.size else None
+        self._is_new_item = jnp.zeros(info.n_items, jnp.float32).at[
+            jnp.asarray(self.stream.test_new_item, jnp.int32)].set(1.0) \
+            if self.stream.test_new_item.size else None
 
         key = jax.random.PRNGKey(cfg.seed)
         self._key, kinit = jax.random.split(key)
@@ -173,6 +183,8 @@ class BaselineDriver:
         self.recall: List[List[float]] = []
         self.ndcg: List[List[float]] = []
         self.test_counts: List[int] = []
+        self.hit_new_user: List[List[float]] = []
+        self.hit_new_item: List[List[float]] = []
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -184,6 +196,26 @@ class BaselineDriver:
         n = max(padded.n_real, 1)
         return {k: (float(h) / n, float(nd) / n)
                 for k, (h, nd) in sums.items()}
+
+    def evaluate_attributed(self, test_rows: np.ndarray):
+        """Eval + hit attribution on new users/items, normalized by the test
+        count like the reference (``baseline.py:434-443``). Returns None if
+        the dataset ships no new-entity id files."""
+        if self._is_new_user is None or self._is_new_item is None:
+            return None
+        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        out = self._eval_attr(self.mf, padded.rows, padded.mask,
+                              self._is_new_user, self._is_new_item)
+        n = max(padded.n_real, 1)
+        return {
+            "base": {k: (float(h) / n, float(nd) / n)
+                     for k, (h, nd) in out["base"].items()},
+            "hit_new_user": {k: float(v) / n
+                             for k, v in out["hit_new_user"].items()},
+            "hit_new_item": {k: float(v) / n
+                             for k, v in out["hit_new_item"].items()},
+            "buckets_at_max_k": [float(x) for x in out["buckets_at_max_k"]],
+        }
 
     # ------------------------------------------------------------------ modes
     def _train_offline(self, train_data: np.ndarray) -> None:
@@ -240,13 +272,26 @@ class BaselineDriver:
         else:
             self._train_offline(train)
 
-        metrics = self.evaluate(test)
+        attributed = self.evaluate_attributed(test)
+        extra = {}
+        if attributed is not None:
+            metrics = attributed["base"]
+            kx = max(self.cfg.topk)
+            self.hit_new_user.append(
+                [attributed["hit_new_user"][k] for k in self.cfg.topk])
+            self.hit_new_item.append(
+                [attributed["hit_new_item"][k] for k in self.cfg.topk])
+            extra = {f"hit_new_user@{kx}": attributed["hit_new_user"][kx],
+                     f"hit_new_item@{kx}": attributed["hit_new_item"][kx]}
+        else:
+            metrics = self.evaluate(test)
         self.recall.append([metrics[k][0] for k in self.cfg.topk])
         self.ndcg.append([metrics[k][1] for k in self.cfg.topk])
         self.logger.log(kind="baseline_test", method=method, period=period,
                         seconds=time.time() - t0,
                         **{f"recall@{k}": metrics[k][0] for k in self.cfg.topk},
-                        **{f"ndcg@{k}": metrics[k][1] for k in self.cfg.topk})
+                        **{f"ndcg@{k}": metrics[k][1] for k in self.cfg.topk},
+                        **extra)
         return True
 
     def run(self, max_periods: Optional[int] = None) -> Dict[str, float]:

@@ -150,16 +150,26 @@ class SMLDriver:
 
     def run(self, state: Optional[SMLState] = None,
             max_periods: Optional[int] = None) -> RunReport:
-        """Full sweep (``meta_train.run``, ``transfer.py:965-1029``)."""
+        """Full sweep (``meta_train.run``, ``transfer.py:965-1029``).
+
+        With ``pass_num > 1`` the warm-up span is replayed: non-final passes
+        stop at ``multipass_stop_stage`` (the reference's ``stage_id >= 19``
+        break for yelp, ``transfer.py:986-988``); only the final pass runs
+        through the test span and reports.
+        """
         if state is None:
             state = self.engine.init_state()
-        self.feeder.reinit()
-        d_time = 0
-        while max_periods is None or d_time < max_periods:
-            state, ok = self.run_period(state, d_time)
-            if not ok:
-                break
-            d_time += 1
+        for pass_id in range(self.cfg.pass_num):
+            final_pass = pass_id == self.cfg.pass_num - 1
+            self.feeder.reinit()
+            d_time = 0
+            while max_periods is None or d_time < max_periods:
+                state, ok = self.run_period(state, d_time)
+                if not ok:
+                    break
+                d_time += 1
+                if not final_pass and d_time >= self.cfg.multipass_stop_stage:
+                    break
         self.final_state = state
         self.logger.log(kind="summary", **self.report.summary())
         return self.report

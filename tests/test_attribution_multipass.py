@@ -1,0 +1,79 @@
+"""Hit attribution buckets + multi-pass driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sml_tpu.config import BaselineConfig, SMLConfig, TransferConfig
+from sml_tpu.eval.evaluator import make_attributed_eval_fn
+from sml_tpu.models.mf import init_mf
+from sml_tpu.train.baselines import BaselineDriver
+from sml_tpu.train.driver import SMLDriver
+from sml_tpu.train.engine import SMLEngine
+
+
+def test_attributed_eval_counts(rng):
+    n_users, n_items = 50, 40
+    mf = init_mf(jax.random.PRNGKey(0), n_users, n_items, 8)
+    pos = rng.integers(0, n_items, 120)
+    # negatives distinct from the positive (equal ids would score exactly
+    # equal and break ties differently across float accumulation orders)
+    negs = [(pos + 1 + rng.integers(0, n_items - 1, 120)) % n_items
+            for _ in range(20)]
+    rows = np.stack([rng.integers(0, n_users, 120), pos] + negs, axis=1)
+    mask = np.ones(120, np.float32)
+    is_new_u = np.zeros(n_users, np.float32)
+    is_new_u[:10] = 1.0
+    is_new_i = np.zeros(n_items, np.float32)
+    is_new_i[:5] = 1.0
+
+    fn = jax.jit(make_attributed_eval_fn((5, 10, 20), 40))
+    out = fn(mf, jnp.asarray(rows, jnp.int32), jnp.asarray(mask),
+             jnp.asarray(is_new_u), jnp.asarray(is_new_i))
+
+    # brute force
+    ue = np.asarray(mf.user_emb)[rows[:, 0]]
+    ce = np.asarray(mf.item_emb)[rows[:, 1:]]
+    scores = np.einsum("bd,bcd->bc", ue, ce)
+    rank = (scores[:, 1:] > scores[:, :1]).sum(1)
+    for k in (5, 10, 20):
+        hit = rank < k
+        np.testing.assert_allclose(float(out["base"][k][0]), hit.sum())
+        np.testing.assert_allclose(
+            float(out["hit_new_user"][k]),
+            (hit & (rows[:, 0] < 10)).sum())
+        np.testing.assert_allclose(
+            float(out["hit_new_item"][k]),
+            (hit & (rows[:, 1] < 5)).sum())
+    hit20 = rank < 20
+    nu = rows[:, 0] < 10
+    ni = rows[:, 1] < 5
+    want = [ (hit20 & ~nu & ~ni).sum(), (hit20 & ~nu & ni).sum(),
+             (hit20 & nu & ~ni).sum(), (hit20 & nu & ni).sum() ]
+    np.testing.assert_allclose(np.asarray(out["buckets_at_max_k"]), want)
+    # buckets partition all hits
+    assert float(np.asarray(out["buckets_at_max_k"]).sum()) == hit20.sum()
+
+
+def test_baseline_attribution_from_files(synthetic_dataset):
+    dspec, info, spec = synthetic_dataset
+    cfg = BaselineConfig(method="fine", epochs=1, batch_size=256,
+                         latent_dim=8, start_period=dspec.online_test_start)
+    driver = BaselineDriver(cfg, dspec)
+    assert driver.run_one_period(dspec.online_test_start)
+    assert driver.hit_new_user and driver.hit_new_item
+    assert all(v >= 0 for v in driver.hit_new_user[0])
+
+
+def test_multipass_driver(synthetic_dataset):
+    dspec, info, spec = synthetic_dataset
+    cfg = SMLConfig(multi_num=1, mf_batch_size=256, tr_batch_size=128,
+                    eval_batch_size=256, latent_dim=8,
+                    transfer=TransferConfig(latent_dim=8, fc_hidden=32),
+                    pass_num=2, multipass_stop_stage=1)
+    engine = SMLEngine(cfg, info.n_users, info.n_items)
+    driver = SMLDriver(cfg, dspec, engine=engine)
+    report = driver.run(engine.init_state())
+    # pass 0 stops after 1 warm-up period (no tests); final pass reports all
+    # 3 test periods exactly once
+    assert len(report.test_counts) == 3
