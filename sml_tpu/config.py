@@ -129,6 +129,11 @@ class SMLConfig:
     pass_num: int = 1
     multipass_stop_stage: int = 19
 
+    # jax.profiler tracing: write a trace of period `profile_period` into
+    # `profile_dir` (None disables)
+    profile_dir: Optional[str] = None
+    profile_period: int = 0
+
     seed: int = 2000
 
     # numerics

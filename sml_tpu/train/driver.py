@@ -108,6 +108,13 @@ class SMLDriver:
     # ----------------------------------------------------------------- periods
     def run_period(self, state: SMLState, d_time: int):
         """One period; returns (state, still_running)."""
+        from sml_tpu.utils.profiling import maybe_trace
+        trace_dir = (self.cfg.profile_dir
+                     if d_time == self.cfg.profile_period else None)
+        with maybe_trace(trace_dir):
+            return self._run_period(state, d_time)
+
+    def _run_period(self, state: SMLState, d_time: int):
         t0 = time.time()
         state = self.engine.snapshot_last(state)
         sd: StageData = self.feeder.next_train(d_time)
