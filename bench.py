@@ -21,6 +21,7 @@ import numpy as np
 
 N_USERS, N_ITEMS, DIM = 100_000, 20_000, 64
 N_INTER = 500_000
+NEG_COLS = 999          # presampled pool width (reference README.md:25)
 BATCH = 1024
 TIMED_EPOCHS = 3
 
@@ -36,46 +37,56 @@ def make_data(rng):
     return np.unique(inter, axis=0)
 
 
-def bench_jax(inter):
+def bench_jax(inter, mf_sample, rng):
     import jax
     import jax.numpy as jnp
 
     from sml_tpu.config import SMLConfig, TransferConfig
     from sml_tpu.train.engine import SMLEngine
 
+    if mf_sample == "all":
+        # eval-format presampled rows, the reference's Yelp default
+        # (main_yelp.py:46; dataset2.py:319-324)
+        rows = np.concatenate(
+            [inter, rng.integers(0, N_ITEMS, (inter.shape[0], NEG_COLS))],
+            axis=1)
+    else:
+        rows = inter
     cfg = SMLConfig(mf_batch_size=BATCH, latent_dim=DIM,
                     transfer=TransferConfig(latent_dim=DIM),
-                    mf_sample="alone")
+                    mf_sample=mf_sample)
     engine = SMLEngine(cfg, N_USERS, N_ITEMS)
     state = engine.init_state()
     state = engine.snapshot_last(state)
-    padded, index = engine.prep_inner(inter)
+    padded, index = engine.prep_inner(rows)
 
-    # warmup/compile
+    # warmup/compile. NOTE: block_until_ready is unreliable on the axon
+    # platform — force completion by materializing a scalar on host.
     t0 = time.time()
     state, losses = engine.inner_epoch(state, padded, index)
-    jax.block_until_ready(losses)
-    log(f"jax warmup (compile + 1 epoch): {time.time() - t0:.1f}s "
-        f"loss={float(losses.mean()):.4f} backend={jax.default_backend()}")
+    warm_loss = float(losses.mean())
+    log(f"jax[{mf_sample}] warmup (compile + 1 epoch): {time.time() - t0:.1f}s "
+        f"loss={warm_loss:.4f} backend={jax.default_backend()}")
 
     t0 = time.time()
+    acc = 0.0
     for _ in range(TIMED_EPOCHS):
         state, losses = engine.inner_epoch(state, padded, index)
-    jax.block_until_ready(losses)
+        acc += float(losses.sum())
     dt = time.time() - t0
     ex_per_s = TIMED_EPOCHS * inter.shape[0] / dt
-    log(f"jax: {TIMED_EPOCHS} epochs x {inter.shape[0]} examples in {dt:.2f}s"
-        f" -> {ex_per_s:,.0f} ex/s")
+    log(f"jax[{mf_sample}]: {TIMED_EPOCHS} epochs x {inter.shape[0]} examples"
+        f" in {dt:.2f}s -> {ex_per_s:,.0f} ex/s")
 
     # secondary: fused full-table transfer refresh
     t0 = time.time()
     state = engine.refresh(state)
-    jax.block_until_ready(state.mf.user_emb)
+    float(state.mf.user_emb[0, 0])
     log(f"full-table refresh (compile+run): {time.time() - t0:.2f}s")
     t0 = time.time()
     for _ in range(5):
         state = engine.refresh(state)
-    jax.block_until_ready(state.mf.user_emb)
+        float(state.mf.user_emb[0, 0])
     log(f"full-table refresh steady: {(time.time() - t0) / 5 * 1e3:.1f} ms "
         f"for {N_USERS + N_ITEMS} rows")
     return ex_per_s
@@ -151,7 +162,10 @@ def main():
     log(f"workload: {inter.shape[0]} interactions, {N_USERS} users, "
         f"{N_ITEMS} items, d={DIM}")
 
-    ours = bench_jax(inter)
+    # headline: the reference's default Yelp configuration (mf_sample='all')
+    ours = bench_jax(inter, "all", rng)
+    # secondary: on-device Bloom rejection sampling ('alone' mode)
+    bench_jax(inter, "alone", rng)
     try:
         base = bench_torch(inter)
         vs = ours / base

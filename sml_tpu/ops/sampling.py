@@ -71,11 +71,28 @@ def _hash_pair_jnp(u: jax.Array, i: jax.Array) -> jax.Array:
     return h
 
 
+# Bloom sizing: ~16 bits/key with 2 probes → false-positive rate ≈ 1.4%.
+# A false positive only over-rejects a valid negative candidate.
+_BLOOM_BITS_PER_KEY = 16
+
+
+def _bloom_second_hash(h):
+    """Second probe position derived from the pair hash (uint32 ops only).
+
+    The multiplier is an np.uint32 scalar so the expression stays uint32 for
+    both numpy and jnp operands (a bare Python literal > int32 max raises
+    under jnp's promotion rules).
+    """
+    return (h * np.uint32(0x9E3779B1)) ^ (h >> 16)
+
+
 class PeriodIndex(NamedTuple):
     """Static per-period sampling index (device arrays, padded)."""
     item_pool: jax.Array      # (P,) int32 unique items, padded by repeating
     pool_size: jax.Array      # () int32 true number of unique items
     pos_hashes: jax.Array     # (K,) uint32 sorted pair hashes, padded with MAX
+    bloom: jax.Array          # (M/32,) uint32 bit array over pair hashes
+    bloom_mask: jax.Array     # () uint32, M-1 (M = power-of-two bit count)
 
 
 def build_period_index(interactions: np.ndarray, n_items: int,
@@ -98,11 +115,41 @@ def build_period_index(interactions: np.ndarray, n_items: int,
     kpad = -(-hashes.shape[0] // pad_to_multiple) * pad_to_multiple
     hashes_padded = np.concatenate(
         [hashes, np.full(kpad - hashes.shape[0], np.uint32(0xFFFFFFFF))])
+
+    # Bloom filter: 2 probes per key; sized to the next power of two
+    m_bits = 1024
+    while m_bits < _BLOOM_BITS_PER_KEY * hashes.shape[0]:
+        m_bits <<= 1
+    mask = np.uint32(m_bits - 1)
+    words = np.zeros(m_bits // 32, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for pos in (hashes & mask, _bloom_second_hash(hashes) & mask):
+            np.bitwise_or.at(words, pos >> 5,
+                             np.uint32(1) << (pos & np.uint32(31)))
+
     return PeriodIndex(
         item_pool=jnp.asarray(pool_padded, dtype=jnp.int32),
         pool_size=jnp.asarray(psize, dtype=jnp.int32),
         pos_hashes=jnp.asarray(hashes_padded),
+        bloom=jnp.asarray(words),
+        bloom_mask=jnp.asarray(mask),
     )
+
+
+def maybe_positive(index: PeriodIndex, users: jax.Array,
+                   items: jax.Array) -> jax.Array:
+    """Bloom membership test: True for EVERY true positive (no false
+    negatives), plus ~1.4% false positives. Two 32-bit gathers per query vs
+    ~log2(K) for the exact binary search — this is the sampler's hot test.
+    """
+    h = _hash_pair_jnp(users, items)
+    hit = None
+    for probe in (h, _bloom_second_hash(h)):
+        b = probe & index.bloom_mask
+        word = index.bloom[(b >> 5).astype(jnp.int32)]
+        bit = (word >> (b & 31)) & 1
+        hit = bit if hit is None else (hit & bit)
+    return hit == 1
 
 
 def is_positive(index: PeriodIndex, users: jax.Array,
@@ -127,7 +174,7 @@ def sample_negatives(index: PeriodIndex, users: jax.Array, key: jax.Array,
     b = users.shape[0]
     draws = jax.random.randint(key, (b, tries), 0, index.pool_size)
     cands = index.item_pool[draws]                          # (B, T)
-    pos = is_positive(index, users[:, None], cands)         # (B, T) bool
+    pos = maybe_positive(index, users[:, None], cands)      # (B, T) bool
     # first non-positive candidate; if all positive, keep the last draw
     first_ok = jnp.argmax(~pos, axis=1)
     all_pos = jnp.all(pos, axis=1)

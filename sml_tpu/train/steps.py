@@ -75,9 +75,19 @@ def transferred_pair_loss(theta: TransferParams, tcfg: TransferConfig,
     return bpr_loss(pos, neg, mask)
 
 
-def _neg_column(r, col):
-    """Pick the epoch's presampled negative column (traced index)."""
-    return lax.dynamic_slice_in_dim(r, 2 + col, 1, axis=1)[:, 0]
+def _epoch_triples(rows, key, mode):
+    """Narrow the epoch's rows to (n, 2|3) BEFORE shuffling.
+
+    'all' mode rows are eval-format (n, 2 + neg_num); materializing the
+    chosen negative column up front means the shuffle and the per-batch
+    slices move 3 int32 columns instead of the whole presampled pool
+    (1001 columns for the reference format) every epoch.
+    """
+    if mode != "all":
+        return rows
+    col = jax.random.randint(key, (), 0, rows.shape[1] - 2)
+    j = lax.dynamic_slice_in_dim(rows, 2 + col, 1, axis=1)[:, 0]
+    return jnp.stack([rows[:, 0], rows[:, 1], j], axis=1)
 
 
 def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
@@ -98,14 +108,13 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
     def epoch(mfp, opt, theta, last_u, last_i, rows, mask, n_real, key,
               index: Optional[PeriodIndex] = None):
         kcol, krest = jax.random.split(key)
-        col = (jax.random.randint(kcol, (), 0, rows.shape[1] - 2)
-               if mode == "all" else None)
+        rows = _epoch_triples(rows, kcol, mode)
 
         def step(c, r, m, k):
             mfp, opt = c
             u, i = r[:, 0], r[:, 1]
             if mode == "all":
-                j = _neg_column(r, col)
+                j = r[:, 2]
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -135,14 +144,13 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
     def epoch(theta, opt, last_u, last_i, hat_u, hat_i, rows, mask, n_real,
               key, index: Optional[PeriodIndex] = None):
         kcol, krest = jax.random.split(key)
-        col = (jax.random.randint(kcol, (), 0, rows.shape[1] - 2)
-               if mode == "all" else None)
+        rows = _epoch_triples(rows, kcol, mode)
 
         def step(c, r, m, k):
             theta, opt = c
             u, i = r[:, 0], r[:, 1]
             if mode == "all":
-                j = _neg_column(r, col)
+                j = r[:, 2]
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
             loss, grads = jax.value_and_grad(loss_fn)(
