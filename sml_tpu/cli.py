@@ -67,7 +67,12 @@ def cmd_sml(args) -> int:
         transfer=C.TransferConfig(latent_dim=args.latent,
                                   kind=args.transfer_type),
         mf_sample=args.mf_sample, tr_sample_type=args.tr_sample_type,
-        tr_stop=args.tr_stop, seed=args.seed)
+        tr_stop=args.tr_stop, load_w_hat=args.load_w_hat,
+        pass_num=args.pass_num, seed=args.seed,
+        emb_init_scale=args.emb_init_scale,
+        eval_during_inner=args.eval_during_inner,
+        eval_during_outer=args.eval_during_outer,
+        profile_dir=args.profile_dir)
 
     logger = MetricsLogger(args.metrics_jsonl, echo=True)
     driver = SMLDriver(cfg, spec, logger=logger)
@@ -202,6 +207,15 @@ def main(argv=None) -> int:
                     choices=["conv_com", "mlp_delta", "linear", "gru",
                              "gated"])
     ps.add_argument("--seed", type=int, default=2000)
+    ps.add_argument("--load-w-hat", action="store_true",
+                    help="restore MF <- W_hat after each outer step "
+                         "(reference --Load_W_hat)")
+    ps.add_argument("--pass-num", type=int, default=1)
+    ps.add_argument("--emb-init-scale", type=float, default=1.0)
+    ps.add_argument("--eval-during-inner", action="store_true")
+    ps.add_argument("--eval-during-outer", action="store_true")
+    ps.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of period 0 here")
     ps.set_defaults(fn=cmd_sml)
 
     pp = sub.add_parser("pretrain", help="pretrain the base MF model")

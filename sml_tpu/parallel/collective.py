@@ -25,7 +25,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def collective_gather(table_shard: jax.Array, idx: jax.Array,
@@ -73,7 +72,11 @@ def make_sharded_mf_train_step(mesh: Mesh, lr: float = 0.01,
             loss, (gu, gi) = jax.value_and_grad(loss_fn)((ut, it_))
             return ut - lr * gu, it_ - lr * gi, loss
 
-        return shard_map(
+        # check_vma=True (default) is load-bearing: it tracks which values
+        # are replicated so the transpose of the lookup's psum is the
+        # identity (not another psum) — with it off, gradients through
+        # collective_gather are overcounted by the shard count.
+        return jax.shard_map(
             inner, mesh=mesh,
             in_specs=(P("model"), P("model"), P(), P(), P()),
             out_specs=(P("model"), P("model"), P()),

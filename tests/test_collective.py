@@ -8,7 +8,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sml_tpu.parallel.collective import (collective_gather,
                                          make_sharded_mf_train_step)
-from sml_tpu.parallel.sharding import make_mesh
 
 
 def _mesh():
@@ -21,9 +20,9 @@ def test_collective_gather_matches_dense(rng):
     table = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
     idx = jnp.asarray(rng.integers(0, 64, 40), jnp.int32)
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(lambda t, i: collective_gather(t, i), mesh=mesh,
-                   in_specs=(P("model"), P()), out_specs=P())
+    fn = jax.shard_map(lambda t, i: collective_gather(t, i), mesh=mesh,
+                       in_specs=(P("model"), P()), out_specs=P(),
+                       check_vma=False)
     got = jax.jit(fn)(table, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(table[idx]),
                                rtol=1e-6)
@@ -35,14 +34,13 @@ def test_collective_gather_grad_is_scatter_add(rng):
     idx = jnp.asarray([3, 3, 10, 63], jnp.int32)
     w = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
 
-    from jax.experimental.shard_map import shard_map
-
     def loss(t, i):
         def inner(t, i):
             rows = collective_gather(t, i)
-            return jax.lax.psum(jnp.sum(rows * w), "model") / mesh.shape["model"]
-        return shard_map(inner, mesh=mesh, in_specs=(P("model"), P()),
-                         out_specs=P())(t, i)
+            return jax.lax.psum(jnp.sum(rows * w), "model") \
+                / mesh.shape["model"]
+        return jax.shard_map(inner, mesh=mesh, in_specs=(P("model"), P()),
+                             out_specs=P(), check_vma=False)(t, i)
 
     g = jax.jit(jax.grad(loss))(table, idx)
     want = np.zeros((64, 8), np.float32)

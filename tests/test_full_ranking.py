@@ -1,0 +1,55 @@
+"""Sharded full-catalog top-K == dense top-K."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sml_tpu.eval.full_ranking import (dense_full_topk,
+                                       make_sharded_full_topk, recommend)
+from sml_tpu.models.mf import MFParams
+
+
+def _mesh():
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    return Mesh(devs, ("data", "model"))
+
+
+def test_sharded_topk_matches_dense(rng):
+    mesh = _mesh()
+    b, i, d, k = 16, 64, 8, 5
+    users = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(i, d)), jnp.float32)
+
+    ds, di = dense_full_topk(users, items, k)
+    items_sharded = jax.device_put(items, NamedSharding(mesh, P("model")))
+    ss, si = make_sharded_full_topk(mesh, k)(users, items_sharded)
+
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+
+
+def test_dense_topk_brute_force(rng):
+    b, i, d, k = 8, 40, 4, 6
+    users = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(i, d)), jnp.float32)
+    s, ids = dense_full_topk(users, items, k)
+    scores = np.asarray(users) @ np.asarray(items).T
+    want_ids = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(ids), want_ids)
+
+
+def test_recommend_with_mesh(rng):
+    mesh = _mesh()
+    n_u, n_i, d = 32, 64, 8
+    mf = MFParams(
+        user_emb=jnp.asarray(rng.normal(size=(n_u, d)), jnp.float32),
+        item_emb=jax.device_put(
+            jnp.asarray(rng.normal(size=(n_i, d)), jnp.float32),
+            NamedSharding(mesh, P("model"))),
+        user_bias=jnp.zeros((n_u, 1)), item_bias=jnp.zeros((n_i, 1)))
+    users = jnp.asarray([0, 3, 7], jnp.int32)
+    s, ids = recommend(mf, users, 4, mesh=mesh)
+    s2, ids2 = recommend(
+        mf._replace(item_emb=jnp.asarray(np.asarray(mf.item_emb))), users, 4)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
