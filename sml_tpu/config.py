@@ -63,9 +63,9 @@ class TransferConfig:
     conv1_channels: int = 10
     conv2_channels: int = 5
     fc_hidden: int = 512
-    # 'conv_com' is the paper architecture; 'mlp_delta' / 'linear' / 'gru' /
-    # 'gated' mirror the reference's unused alternatives (transfer.py:94-291)
-    # and are provided as capability parity.
+    # 'conv_com' is the paper architecture; 'conv2ch' is the reference's
+    # kernel-2 ConvTransfer (conv_transfer.py:52-68); 'mlp_delta' / 'linear'
+    # / 'gru' / 'gated' mirror the unused alternatives (transfer.py:94-291).
     kind: str = "conv_com"
 
 

@@ -58,7 +58,7 @@ def _uniform(key, shape, fan_in, dtype):
 # ---------------------------------------------------------------------------
 
 class ConvTower(NamedTuple):
-    conv1_w: jax.Array   # (C1, 3)
+    conv1_w: jax.Array   # (C1, K) — K input channels (3 conv_com, 2 conv2ch)
     conv1_b: jax.Array   # (C1,)
     conv2_w: jax.Array   # (C2, C1)
     conv2_b: jax.Array   # (C2,)
@@ -68,12 +68,13 @@ class ConvTower(NamedTuple):
     fc2_b: jax.Array     # (d,)
 
 
-def _init_conv_tower(key, cfg: TransferConfig, dtype) -> ConvTower:
+def _init_conv_tower(key, cfg: TransferConfig, dtype,
+                     in_channels: int = 3) -> ConvTower:
     d, c1, c2, h = cfg.latent_dim, cfg.conv1_channels, cfg.conv2_channels, cfg.fc_hidden
     ks = jax.random.split(key, 8)
     return ConvTower(
-        conv1_w=_uniform(ks[0], (c1, 3), 3, dtype),
-        conv1_b=_uniform(ks[1], (c1,), 3, dtype),
+        conv1_w=_uniform(ks[0], (c1, in_channels), in_channels, dtype),
+        conv1_b=_uniform(ks[1], (c1,), in_channels, dtype),
         conv2_w=_uniform(ks[2], (c2, c1), c1, dtype),
         conv2_b=_uniform(ks[3], (c2,), c1, dtype),
         fc1_w=_uniform(ks[4], (c2 * d, h), c2 * d, dtype),
@@ -84,7 +85,7 @@ def _init_conv_tower(key, cfg: TransferConfig, dtype) -> ConvTower:
 
 
 def conv_tower_apply(tw: ConvTower, stack: jax.Array) -> jax.Array:
-    """Apply one tower to a stacked batch ``(N, 3, d)`` -> ``(N, d)``."""
+    """Apply one tower to a stacked batch ``(N, K, d)`` -> ``(N, d)``."""
     n, _, d = stack.shape
     h1 = jnp.einsum("ck,nkj->ncj", tw.conv1_w, stack) + tw.conv1_b[None, :, None]
     h1 = gelu_sig(h1)                                        # (N, C1, d)
@@ -226,6 +227,9 @@ def init_transfer(key: jax.Array, cfg: TransferConfig,
     if cfg.kind == "conv_com":
         return TransferParams(_init_conv_tower(ku, cfg, dtype),
                               _init_conv_tower(ki, cfg, dtype))
+    if cfg.kind == "conv2ch":
+        return TransferParams(_init_conv_tower(ku, cfg, dtype, in_channels=2),
+                              _init_conv_tower(ki, cfg, dtype, in_channels=2))
     if cfg.kind == "mlp_delta":
         return TransferParams(_init_mlp_delta(ku, cfg, dtype),
                               _init_mlp_delta(ki, cfg, dtype))
@@ -251,6 +255,15 @@ def apply_rows(theta: TransferParams, cfg: TransferConfig, side: str,
     if cfg.kind == "conv_com":
         stack = jnp.stack([x_t, x_hat, build_x_com(x_t, x_hat)], axis=1)
         return conv_tower_apply(tower, stack)
+    if cfg.kind == "conv2ch":
+        # the reference's kernel-2 ConvTransfer (conv_transfer.py:52-68):
+        # stack [x_t, x_hat]; the USER output is length-normalized by its
+        # own (detached) norm
+        out = conv_tower_apply(tower, jnp.stack([x_t, x_hat], axis=1))
+        if side == "user":
+            norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
+            out = out / jax.lax.stop_gradient(jnp.where(norm > 0, norm, 1.0))
+        return out
     if cfg.kind == "mlp_delta":
         return _mlp_delta_apply(tower, x_t, x_hat)
     if cfg.kind == "linear":

@@ -64,12 +64,19 @@ def scan_epoch(carry, rows, mask, n_real, key, batch_size, step_fn):
 def transferred_pair_loss(theta: TransferParams, tcfg: TransferConfig,
                           lu, li, lj, xu, xi, xj, mask, use_bce: bool):
     """Score a (u, i, j) triple through Θ and reduce to the SML loss
-    (``ConvTransfer_com.run_MF``, ``conv_transfer.py:113-135``)."""
+    (``ConvTransfer_com.run_MF``, ``conv_transfer.py:113-135``).
+
+    The positive and negative item rows go through the item tower as ONE
+    concatenated batch — a single (2B, ·) MXU matmul chain instead of two
+    (B, ·) ones.
+    """
+    b = xu.shape[0]
     nu = apply_rows(theta, tcfg, "user", lu, xu)
-    ni = apply_rows(theta, tcfg, "item", li, xi)
-    nj = apply_rows(theta, tcfg, "item", lj, xj)
-    pos = jnp.sum(nu * ni, axis=-1)
-    neg = jnp.sum(nu * nj, axis=-1)
+    nij = apply_rows(theta, tcfg, "item",
+                     jnp.concatenate([li, lj], axis=0),
+                     jnp.concatenate([xi, xj], axis=0))
+    pos = jnp.sum(nu * nij[:b], axis=-1)
+    neg = jnp.sum(nu * nij[b:], axis=-1)
     if use_bce:
         return bce_pair_loss(pos, neg, mask)
     return bpr_loss(pos, neg, mask)

@@ -21,8 +21,8 @@ def _params(kind="conv_com"):
     return T.init_transfer(jax.random.PRNGKey(0), cfg), cfg
 
 
-@pytest.mark.parametrize("kind", ["conv_com", "mlp_delta", "linear", "gru",
-                                  "gated"])
+@pytest.mark.parametrize("kind", ["conv_com", "conv2ch", "mlp_delta",
+                                  "linear", "gru", "gated"])
 def test_shapes_all_kinds(kind, rng):
     theta, cfg = _params(kind)
     x_t = jnp.asarray(rng.normal(size=(12, CFG.latent_dim)), jnp.float32)
