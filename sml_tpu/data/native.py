@@ -14,7 +14,7 @@ import os
 import subprocess
 import sys
 import threading
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

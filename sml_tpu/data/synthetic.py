@@ -20,7 +20,6 @@ Deterministic given the seed.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
 
 import numpy as np
 

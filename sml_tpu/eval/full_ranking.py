@@ -21,7 +21,6 @@ user's already-seen items, the standard serving filter).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -19,8 +19,7 @@ poorly):
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
