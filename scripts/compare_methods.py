@@ -29,8 +29,14 @@ def main():
     ap.add_argument("--periods", type=int, default=12)
     ap.add_argument("--inter", type=int, default=6000)
     ap.add_argument("--drift", type=float, default=0.08)
+    ap.add_argument("--drift-mode", default="rotate",
+                    choices=["random", "rotate"])
     ap.add_argument("--neg-num", type=int, default=199)
     ap.add_argument("--latent", type=int, default=32)
+    ap.add_argument("--fc-hidden", type=int, default=512)
+    ap.add_argument("--first-test", type=int, default=None)
+    ap.add_argument("--test-start", type=int, default=None)
+    ap.add_argument("--multi-num", type=int, default=10)
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -45,13 +51,16 @@ def main():
     from sml_tpu.train.pretrain import pretrain_mf
 
     root = tempfile.mkdtemp(prefix="cmp_")
-    first_test = args.periods // 3
-    test_start = 2 * args.periods // 3
+    first_test = args.first_test if args.first_test is not None \
+        else args.periods // 3
+    test_start = args.test_start if args.test_start is not None \
+        else 2 * args.periods // 3
     spec = SyntheticSpec(n_users=args.users, n_items=args.items,
                          n_periods=args.periods,
                          interactions_per_period=args.inter,
                          first_test_period=first_test,
-                         neg_num=args.neg_num, drift=args.drift, seed=3)
+                         neg_num=args.neg_num, drift=args.drift,
+                         drift_mode=args.drift_mode, seed=3)
     info = generate_synthetic_dataset(os.path.join(root, "synth"), spec)
     dspec = DataSpec(root=root, name="synth", num_periods=args.periods,
                      online_train_start=first_test,
@@ -72,9 +81,10 @@ def main():
     results = {"pretrain": pre_metrics}
 
     # ---- SML
-    cfg = SMLConfig(multi_num=10, mf_epochs=1, tr_epochs=1,
+    cfg = SMLConfig(multi_num=args.multi_num, mf_epochs=1, tr_epochs=1,
                     latent_dim=args.latent,
-                    transfer=TransferConfig(latent_dim=args.latent),
+                    transfer=TransferConfig(latent_dim=args.latent,
+                                            fc_hidden=args.fc_hidden),
                     mf_batch_size=1024, tr_batch_size=256,
                     mf_sample="all", tr_sample_type="alone")
     engine = SMLEngine(cfg, info.n_users, info.n_items)

@@ -1,0 +1,229 @@
+"""Accuracy parity: our engine vs the REFERENCE implementation, same data.
+
+Runs the reference's own ``meta_train`` driver (imported from
+/root/reference, executed as-is — CUDA calls monkeypatched to CPU no-ops)
+and our SMLDriver on the SAME synthetic dataset with the SAME pretrained
+MF tables and matched hyper-parameters, then compares per-period
+recall/NDCG trajectories. RNG streams differ (torch vs JAX), so parity is
+defined as the SURVEY.md §6 protocol: agreement within the run-to-run
+variance band, not bitwise equality.
+
+Usage:
+    python scripts/parity_vs_reference.py [--out parity.json]
+"""
+
+import argparse
+import contextlib
+import functools
+import io
+import json
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+
+# matched protocol constants
+N_PERIODS = 10
+TRAIN_START = 3
+TEST_START = 6
+NEG = 49
+MULTI = 3
+LATENT = 16
+
+
+def build_dataset(root):
+    from sml_tpu.data.synthetic import SyntheticSpec, generate_synthetic_dataset
+    spec = SyntheticSpec(n_users=300, n_items=150, n_periods=N_PERIODS,
+                         interactions_per_period=900,
+                         first_test_period=TRAIN_START, neg_num=NEG,
+                         latent_dim=4, drift=0.03, seed=11)
+    info = generate_synthetic_dataset(os.path.join(root, "synth"), spec)
+    return info
+
+
+def pretrain(root, info):
+    from sml_tpu.config import DataSpec, PretrainConfig
+    from sml_tpu.train.pretrain import pretrain_mf
+    dspec = DataSpec(root=root, name="synth", num_periods=N_PERIODS,
+                     online_train_start=TRAIN_START,
+                     online_test_start=TEST_START, eval_neg_num=NEG)
+    pcfg = PretrainConfig(max_epochs=40, eval_every=2, patience=6,
+                          batch_size=256, latent_dim=LATENT,
+                          emb_init_scale=0.1)
+    params, metrics = pretrain_mf(pcfg, dspec, pretrain_period=TEST_START - 1)
+    return dspec, params, metrics
+
+
+def run_reference(root, params):
+    """Execute the reference driver on CPU against the shared dataset."""
+    import torch
+
+    # tensorboard may be absent; the reference imports SummaryWriter at
+    # module scope
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+    except Exception:
+        fake = types.ModuleType("torch.utils.tensorboard")
+        fake.SummaryWriter = object
+        sys.modules["torch.utils.tensorboard"] = fake
+
+    # CPU-only: make .cuda() a no-op for tensors and modules
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    # torch>=2.6 defaults weights_only=True; the reference loads whole-module
+    # pickles
+    torch.load = functools.partial(torch.load, weights_only=False)
+
+    sys.path.insert(0, REFERENCE)
+    import model.MF as refMF
+    from model import transfer as ref_transfer
+    from data import dataset2 as ref_dataset2
+
+    # On GPU the reference's per-batch NDCG stays a CUDA tensor so
+    # ``ndcg.cpu().numpy()`` works (transfer.py:858); on CPU numpy collapses
+    # it to a float32 scalar and .cpu() crashes. Wrap test_model's ndcg in a
+    # float that answers .cpu()/.numpy().
+    class _NdcgVal(float):
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return np.float32(float(self))
+
+    _orig_test_model = ref_transfer.test_model
+
+    def _test_model(*a, **k):
+        r, n = _orig_test_model(*a, **k)
+        return r, _NdcgVal(float(n))
+
+    ref_transfer.test_model = _test_model
+
+    # whole-module pickle of the SHARED pretrained tables (the format the
+    # reference expects for non-yelp datasets, transfer.py:325)
+    base = refMF.MFbasemode(num_user=params.user_emb.shape[0],
+                            num_item=params.item_emb.shape[0],
+                            laten_factor=LATENT)
+    with torch.no_grad():
+        base.user_laten.weight.copy_(torch.tensor(np.asarray(params.user_emb)))
+        base.item_laten.weight.copy_(torch.tensor(np.asarray(params.item_emb)))
+        base.user_bais.weight.copy_(torch.tensor(np.asarray(params.user_bias)))
+        base.item_bais.weight.copy_(torch.tensor(np.asarray(params.item_bias)))
+    pre_path = os.path.join(root, "ref_pre.pkl")
+    torch.save(base, pre_path)
+
+    args = types.SimpleNamespace(
+        data_name="synthetic", data_path=root + "/",
+        multi_num=MULTI, MF_lr=0.01, MF_epochs=1, l2=1e-6,
+        MF_batch_size=1024, laten=LATENT, pre_model=pre_path,
+        MF_sample="all", Load_W_hat=False, clip_grad=False,
+        need_adaptive=False, maxnorm_grad=3.0,
+        TR_lr=0.001, TR_l2=1e-4, TR_epochs=1, TR_batch_size=256,
+        TR_sample_type="alone", TR_with_MF_bias=False, TR_stop_=False,
+        transfer_type="conv_com", seed=2000, numworkers=0, topK=20,
+        pass_num=1, norm=False, Lambda_lr=0.01, min_l2=1e-4,
+        set_t_as_tt=False, tqdm=False, need_writer=False,
+        test_in_TR_Train=False)
+
+    torch.manual_seed(args.seed)
+    np.random.seed(args.seed + 2)
+
+    file_list = [str(i) for i in range(N_PERIODS)]
+    test_list = [str(j) for j in range(TEST_START, N_PERIODS)]
+    datasets = ref_dataset2.transfer_data(
+        args, path=root + "/", datasetname="synth",
+        file_path_list=file_list, test_list=test_list,
+        validation_list=None, online_train_time=TRAIN_START,
+        online_test_time=TEST_START)
+
+    sink = io.StringIO()
+    with contextlib.redirect_stdout(sink):
+        model = ref_transfer.meta_train(args, datasets,
+                                        datasets.user_number,
+                                        datasets.item_number, LATENT)
+        model.run(args)
+
+    def arr(x):
+        return [float(v) for v in x]
+
+    return {
+        "recall@20": arr(model.recall), "ndcg@20": arr(model.ndcg),
+        "recall@10": arr(model.recall_10), "ndcg@10": arr(model.ndcg_10),
+        "recall@5": arr(model.recall_5), "ndcg@5": arr(model.ndcg_5),
+        "test_num": [int(v) for v in model.test_num],
+    }
+
+
+def run_ours(dspec, params):
+    from sml_tpu.config import SMLConfig, TransferConfig
+    from sml_tpu.train.driver import SMLDriver
+    from sml_tpu.train.engine import SMLEngine
+
+    cfg = SMLConfig(multi_num=MULTI, mf_epochs=1, tr_epochs=1,
+                    latent_dim=LATENT,
+                    transfer=TransferConfig(latent_dim=LATENT),
+                    mf_batch_size=1024, tr_batch_size=256,
+                    eval_batch_size=1024, mf_sample="all",
+                    tr_sample_type="alone")
+    engine = SMLEngine(cfg, params.user_emb.shape[0],
+                       params.item_emb.shape[0])
+    driver = SMLDriver(cfg, dspec, engine=engine)
+    report = driver.run(engine.init_state(pretrained_mf=params))
+    return {
+        "recall@20": report.per_period[20],
+        "ndcg@20": report.per_period_ndcg[20],
+        "recall@10": report.per_period[10],
+        "ndcg@10": report.per_period_ndcg[10],
+        "recall@5": report.per_period[5],
+        "ndcg@5": report.per_period_ndcg[5],
+        "test_num": report.test_counts,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    root = tempfile.mkdtemp(prefix="parity_")
+    info = build_dataset(root)
+    print(f"dataset: {info}", file=sys.stderr, flush=True)
+    dspec, params, pre_metrics = pretrain(root, info)
+    print(f"pretrain: { {k: round(v, 4) for k, v in pre_metrics.items()} }",
+          file=sys.stderr, flush=True)
+
+    ours = run_ours(dspec, params)
+    print(f"ours     recall@20/period: "
+          f"{[round(v, 4) for v in ours['recall@20']]}",
+          file=sys.stderr, flush=True)
+    ref = run_reference(root, params)
+    print(f"reference recall@20/period: "
+          f"{[round(v, 4) for v in ref['recall@20']]}",
+          file=sys.stderr, flush=True)
+
+    deltas = {}
+    for k in ("recall@20", "recall@10", "recall@5",
+              "ndcg@20", "ndcg@10", "ndcg@5"):
+        a, b = np.asarray(ours[k]), np.asarray(ref[k])
+        deltas[k] = {"max_abs_delta": float(np.max(np.abs(a - b))),
+                     "mean_ours": float(a.mean()),
+                     "mean_reference": float(b.mean())}
+    result = {"pretrain": pre_metrics, "ours": ours, "reference": ref,
+              "deltas": deltas}
+    print(json.dumps(result, indent=2, default=float))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

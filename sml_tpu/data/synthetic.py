@@ -34,6 +34,11 @@ class SyntheticSpec:
     interactions_per_period: int = 4000
     latent_dim: int = 4
     drift: float = 0.03               # per-period taste drift magnitude
+    # 'random': white-noise random walk (no structure for the transfer to
+    # learn). 'rotate': a FIXED small rotation of the latent space each
+    # period — systematic, so a meta-learned transfer can anticipate the
+    # next period while plain fine-tuning always lags by one rotation.
+    drift_mode: str = "random"
     new_entity_rate: float = 0.06     # fraction of catalog unlocked per period
     first_test_period: int = 4        # periods >= this get test/<p>.npy files
     neg_num: int = 999
@@ -63,10 +68,26 @@ def generate_synthetic_dataset(path: str, spec: SyntheticSpec) -> DatasetInfo:
     users_seen_before_test: set = set()
     items_seen_before_test: set = set()
 
+    # fixed per-pair Givens rotation used by drift_mode='rotate'
+    rot_angles = rng.uniform(0.5, 1.5, size=D // 2) * spec.drift
+
+    def rotate(f):
+        f = f.copy()
+        for pidx in range(D // 2):
+            a, b = 2 * pidx, 2 * pidx + 1
+            c, s = np.cos(rot_angles[pidx]), np.sin(rot_angles[pidx])
+            fa = c * f[:, a] - s * f[:, b]
+            fb = s * f[:, a] + c * f[:, b]
+            f[:, a], f[:, b] = fa, fb
+        return f
+
     for p in range(spec.n_periods):
         au, ai = active_counts(p)
         # drift user tastes
-        user_f = user_f + rng.normal(0, spec.drift, size=user_f.shape)
+        if spec.drift_mode == "rotate":
+            user_f = rotate(user_f)
+        else:
+            user_f = user_f + rng.normal(0, spec.drift, size=user_f.shape)
         users = rng.integers(0, au, size=spec.interactions_per_period)
         # score a candidate slate per interaction, pick the argmax — makes
         # interactions strongly preference-correlated, so MF is learnable
