@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import tempfile
+import time
 import types
 
 import numpy as np
@@ -35,6 +36,8 @@ TEST_START = 6
 NEG = 49
 MULTI = 3
 LATENT = 16
+BASE_EPOCHS = 3     # baseline epochs per period (reference default is 20)
+BASE_POOL = 600     # SPMF reservoir size
 
 
 def build_dataset(root):
@@ -60,8 +63,9 @@ def pretrain(root, info):
     return dspec, params, metrics
 
 
-def run_reference(root, params):
-    """Execute the reference driver on CPU against the shared dataset."""
+def _setup_reference_import():
+    """Monkeypatch torch/numpy so the reference code runs unmodified on CPU
+    with modern library versions, then put it on sys.path."""
     import torch
 
     # tensorboard may be absent; the reference imports SummaryWriter at
@@ -79,9 +83,124 @@ def run_reference(root, params):
     # torch>=2.6 defaults weights_only=True; the reference loads whole-module
     # pickles
     torch.load = functools.partial(torch.load, weights_only=False)
+    # numpy>=1.24 removed np.long (reference baseline.py uses it throughout)
+    if not hasattr(np, "long"):
+        np.long = np.int64
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
 
-    sys.path.insert(0, REFERENCE)
+
+def _shared_pretrained_mfbase(params):
+    """Reference MFbasemode initialized with the SHARED pretrained tables."""
+    import torch
     import model.MF as refMF
+
+    base = refMF.MFbasemode(num_user=params.user_emb.shape[0],
+                            num_item=params.item_emb.shape[0],
+                            laten_factor=LATENT)
+    with torch.no_grad():
+        base.user_laten.weight.copy_(torch.tensor(np.asarray(params.user_emb)))
+        base.item_laten.weight.copy_(torch.tensor(np.asarray(params.item_emb)))
+        base.user_bais.weight.copy_(torch.tensor(np.asarray(params.user_bias)))
+        base.item_bais.weight.copy_(torch.tensor(np.asarray(params.item_bias)))
+    return base
+
+
+_REF_BASELINE = None
+
+
+def _load_reference_baseline():
+    """Import the reference's baseline module with ONE crashing line fixed:
+    ``run_one_stage`` (spmf) does ``F_recall, F_ndcg = self.test(now_test)``
+    (baseline.py:249) but ``test`` returns a 4-tuple — a latent bug on the
+    reference's own SPMF path. The value is print-only, so unpacking the two
+    extra fields preserves behavior exactly."""
+    global _REF_BASELINE
+    if _REF_BASELINE is not None:
+        return _REF_BASELINE
+    import importlib.util
+
+    src_path = os.path.join(REFERENCE, "model", "baseline.py")
+    with open(src_path) as fh:
+        src = fh.read()
+    fixed = src.replace("F_recall, F_ndcg = self.test(now_test)",
+                        "F_recall, F_ndcg, _, _ = self.test(now_test)")
+    assert fixed != src, "expected the known 2-unpack line in baseline.py"
+    spec = importlib.util.spec_from_loader("ref_baseline_patched", loader=None)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__file__ = src_path
+    exec(compile(fixed, src_path + "(patched)", "exec"), mod.__dict__)
+    _REF_BASELINE = mod
+    return mod
+
+
+def run_reference_baseline(root, params, method):
+    """Reference ``SPMF`` baselines driver (``model/baseline.py:102-556``)
+    on CPU against the shared dataset + pretrained tables."""
+    import torch
+
+    _setup_reference_import()
+    ref_baseline = _load_reference_baseline()
+
+    torch.manual_seed(2000)
+    np.random.seed(2002)
+
+    args = types.SimpleNamespace(
+        lr=0.01, l2_u=1e-5, l2_i=1e-5, epochs=BASE_EPOCHS, batch_size=256,
+        laten_dim=LATENT, neg_num=1, pool_size=BASE_POOL, laten=LATENT,
+        method=method, pool_init_type=0)
+
+    datasets = ref_baseline.StreamingData(root + "/synth/")
+    model = ref_baseline.SPMF(args, datasets, datasets.user_num,
+                              datasets.item_num, LATENT)
+    model.MFbase = _shared_pretrained_mfbase(params)
+    model.optimizer = torch.optim.Adam(model.MFbase.parameters(),
+                                       lr=args.lr, weight_decay=0)
+
+    sink = io.StringIO()
+    with contextlib.redirect_stdout(sink):
+        if method == "spmf":
+            model.base_train_not_train(TEST_START - 1)
+        model.run(TEST_START, method)
+
+    rec = np.asarray(model.recall, dtype=float)     # (P, 3) for K=(5,10,20)
+    ndc = np.asarray(model.ndcg, dtype=float)
+    return {
+        "recall@5": rec[:, 0].tolist(), "recall@10": rec[:, 1].tolist(),
+        "recall@20": rec[:, 2].tolist(),
+        "ndcg@5": ndc[:, 0].tolist(), "ndcg@10": ndc[:, 1].tolist(),
+        "ndcg@20": ndc[:, 2].tolist(),
+        "test_num": [int(v) for v in model.test_num],
+    }
+
+
+def run_ours_baseline(dspec, params, method):
+    from sml_tpu.config import BaselineConfig
+    from sml_tpu.train.baselines import BaselineDriver
+
+    cfg = BaselineConfig(method=method, lr=0.01, l2_user=1e-5, l2_item=1e-5,
+                         epochs=BASE_EPOCHS, batch_size=256,
+                         pool_size=BASE_POOL if method == "spmf" else 0,
+                         start_period=TEST_START, latent_dim=LATENT,
+                         eval_batch_size=1024)
+    driver = BaselineDriver(cfg, dspec, pretrained=params)
+    driver.run()
+    rec = np.asarray(driver.recall, dtype=float)
+    ndc = np.asarray(driver.ndcg, dtype=float)
+    return {
+        "recall@5": rec[:, 0].tolist(), "recall@10": rec[:, 1].tolist(),
+        "recall@20": rec[:, 2].tolist(),
+        "ndcg@5": ndc[:, 0].tolist(), "ndcg@10": ndc[:, 1].tolist(),
+        "ndcg@20": ndc[:, 2].tolist(),
+        "test_num": driver.test_counts,
+    }
+
+
+def run_reference(root, params):
+    """Execute the reference driver on CPU against the shared dataset."""
+    import torch
+
+    _setup_reference_import()
     from model import transfer as ref_transfer
     from data import dataset2 as ref_dataset2
 
@@ -106,14 +225,7 @@ def run_reference(root, params):
 
     # whole-module pickle of the SHARED pretrained tables (the format the
     # reference expects for non-yelp datasets, transfer.py:325)
-    base = refMF.MFbasemode(num_user=params.user_emb.shape[0],
-                            num_item=params.item_emb.shape[0],
-                            laten_factor=LATENT)
-    with torch.no_grad():
-        base.user_laten.weight.copy_(torch.tensor(np.asarray(params.user_emb)))
-        base.item_laten.weight.copy_(torch.tensor(np.asarray(params.item_emb)))
-        base.user_bais.weight.copy_(torch.tensor(np.asarray(params.user_bias)))
-        base.item_bais.weight.copy_(torch.tensor(np.asarray(params.item_bias)))
+    base = _shared_pretrained_mfbase(params)
     pre_path = os.path.join(root, "ref_pre.pkl")
     torch.save(base, pre_path)
 
@@ -185,14 +297,28 @@ def run_ours(dspec, params):
     }
 
 
+def _deltas(ours, ref):
+    out = {}
+    for k in ("recall@20", "recall@10", "recall@5",
+              "ndcg@20", "ndcg@10", "ndcg@5"):
+        a, b = np.asarray(ours[k]), np.asarray(ref[k])
+        out[k] = {"max_abs_delta": float(np.max(np.abs(a - b))),
+                  "mean_ours": float(a.mean()),
+                  "mean_reference": float(b.mean())}
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--modes", default="sml,fine,full,spmf",
+                    help="comma list of drivers to compare")
     args = ap.parse_args()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     root = tempfile.mkdtemp(prefix="parity_")
     info = build_dataset(root)
@@ -201,24 +327,28 @@ def main():
     print(f"pretrain: { {k: round(v, 4) for k, v in pre_metrics.items()} }",
           file=sys.stderr, flush=True)
 
-    ours = run_ours(dspec, params)
-    print(f"ours     recall@20/period: "
-          f"{[round(v, 4) for v in ours['recall@20']]}",
-          file=sys.stderr, flush=True)
-    ref = run_reference(root, params)
-    print(f"reference recall@20/period: "
-          f"{[round(v, 4) for v in ref['recall@20']]}",
-          file=sys.stderr, flush=True)
-
-    deltas = {}
-    for k in ("recall@20", "recall@10", "recall@5",
-              "ndcg@20", "ndcg@10", "ndcg@5"):
-        a, b = np.asarray(ours[k]), np.asarray(ref[k])
-        deltas[k] = {"max_abs_delta": float(np.max(np.abs(a - b))),
-                     "mean_ours": float(a.mean()),
-                     "mean_reference": float(b.mean())}
-    result = {"pretrain": pre_metrics, "ours": ours, "reference": ref,
-              "deltas": deltas}
+    result = {"pretrain": pre_metrics}
+    for mode in modes:
+        t0 = time.time()
+        if mode == "sml":
+            ours = run_ours(dspec, params)
+        else:
+            ours = run_ours_baseline(dspec, params, mode)
+        ours["seconds"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        if mode == "sml":
+            ref = run_reference(root, params)
+        else:
+            ref = run_reference_baseline(root, params, mode)
+        ref["seconds"] = round(time.time() - t0, 2)
+        print(f"[{mode}] ours recall@20/period: "
+              f"{[round(v, 4) for v in ours['recall@20']]}",
+              file=sys.stderr, flush=True)
+        print(f"[{mode}] ref  recall@20/period: "
+              f"{[round(v, 4) for v in ref['recall@20']]}",
+              file=sys.stderr, flush=True)
+        result[mode] = {"ours": ours, "reference": ref,
+                        "deltas": _deltas(ours, ref)}
     print(json.dumps(result, indent=2, default=float))
     if args.out:
         with open(args.out, "w") as fh:

@@ -112,11 +112,55 @@ def main():
         mfp = mfp._replace(user_emb=mfp.user_emb + 0.0 * leak)
         return mfp, opt
 
+    def row_grads_only_step(mfp, opt, b):
+        """Gather + loss fwd/bwd wrt the GATHERED rows — no dense scatter,
+        no Adam."""
+        u, i, j = b[:, 0], b[:, 1], b[:, 2]
+
+        def loss(xu, xi, xj):
+            pos = jnp.sum(xu * xi, axis=-1)
+            neg = jnp.sum(xu * xj, axis=-1)
+            return bce_pair_loss(pos, neg, m)
+
+        gu, gi, gj = jax.grad(loss, argnums=(0, 1, 2))(
+            mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j])
+        leak = gu[0, 0] + gi[0, 0] + gj[0, 0]
+        return mfp._replace(user_emb=mfp.user_emb + 0.0 * leak), opt
+
+    def scatter_only_step(mfp, opt, b):
+        """Dense-grad materialization alone: zeros + scatter-add + consume."""
+        u, i, j = b[:, 0], b[:, 1], b[:, 2]
+        gu = mfp.user_emb[u] * 0.5
+        gi = mfp.item_emb[i] * 0.5
+        gj = mfp.item_emb[j] * 0.5
+        du = jnp.zeros_like(mfp.user_emb).at[u].add(gu)
+        di = jnp.zeros_like(mfp.item_emb).at[i].add(gi).at[j].add(gj)
+        return mfp._replace(user_emb=mfp.user_emb + 1e-30 * du,
+                            item_emb=mfp.item_emb + 1e-30 * di), opt
+
+    def scatter_sorted_step(mfp, opt, b):
+        """Same, but indices sorted first + indices_are_sorted=True."""
+        u, i, j = b[:, 0], b[:, 1], b[:, 2]
+        gu = mfp.user_emb[u] * 0.5
+        ij = jnp.concatenate([i, j])
+        gij = jnp.concatenate([mfp.item_emb[i], mfp.item_emb[j]]) * 0.5
+        su = jnp.argsort(u)
+        sij = jnp.argsort(ij)
+        du = jnp.zeros_like(mfp.user_emb).at[u[su]].add(
+            gu[su], indices_are_sorted=True)
+        di = jnp.zeros_like(mfp.item_emb).at[ij[sij]].add(
+            gij[sij], indices_are_sorted=True)
+        return mfp._replace(user_emb=mfp.user_emb + 1e-30 * du,
+                            item_emb=mfp.item_emb + 1e-30 * di), opt
+
     results = {}
     for tag, step in [("adam_only", adam_only_step),
                       ("plain_mf", plain_step),
                       ("sml_inner", sml_step),
-                      ("transfer_only", transfer_only_step)]:
+                      ("transfer_only", transfer_only_step),
+                      ("row_grads_only", row_grads_only_step),
+                      ("scatter_only", scatter_only_step),
+                      ("scatter_sorted", scatter_sorted_step)]:
         run = scan_of(step)
         out = run(mf, opt0)                       # compile + 1st run
         float(out.user_emb[0, 0])
