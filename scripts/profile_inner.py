@@ -153,8 +153,27 @@ def main():
         return mfp._replace(user_emb=mfp.user_emb + 1e-30 * du,
                             item_emb=mfp.item_emb + 1e-30 * di), opt
 
+    from sml_tpu.train.optim import TableGrad, sparse_dense_adam_update
+
+    def sml_fast_step(mfp, opt, b):
+        """SML inner step via the row-sparse exact-dense Adam."""
+        u, i, j = b[:, 0], b[:, 1], b[:, 2]
+
+        def loss(xu, xi, xj):
+            return transferred_pair_loss(theta, cfg.transfer, last_u[u],
+                                         last_i[i], last_i[j], xu, xi, xj,
+                                         m, True)
+
+        gu, gi, gj = jax.grad(loss, argnums=(0, 1, 2))(
+            mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j])
+        sparse = {"user_emb": TableGrad(u, gu),
+                  "item_emb": TableGrad(jnp.concatenate([i, j]),
+                                        jnp.concatenate([gi, gj], axis=0))}
+        return sparse_dense_adam_update(mfp, opt, sparse, lr=cfg.mf_lr)
+
     results = {}
     for tag, step in [("adam_only", adam_only_step),
+                      ("sml_fast", sml_fast_step),
                       ("plain_mf", plain_step),
                       ("sml_inner", sml_step),
                       ("transfer_only", transfer_only_step),

@@ -104,6 +104,14 @@ class SMLConfig:
     # loss used inside run_MF: the live default is BCE (conv_transfer.py:114)
     use_bce: bool = True
 
+    # Row-sparse formulation of the dense torch-Adam table update (same
+    # numbers; see sparse_dense_adam_update). Measured SLOWER than the
+    # dense-gradient optax path on TPU v5e at the bench shape (0.94 vs 0.71
+    # ms/step: the scatter-sets break XLA's elementwise fusion and cost more
+    # than the dense-grad materialization they avoid), so the literal dense
+    # path is the default.
+    fast_table_adam: bool = False
+
     # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
     # on its compute_performance path (transfer.py:738-741), which is active
     # for the default TR_sample_type='alone' + val given. Keep on by default.

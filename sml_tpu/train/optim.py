@@ -18,6 +18,10 @@ behind a flag, but it changes the training trajectory.
 
 from __future__ import annotations
 
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -29,3 +33,101 @@ def torch_adam(lr: float, weight_decay: float = 0.0,
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
         optax.scale(-lr),
     )
+
+
+class TableGrad(NamedTuple):
+    """Row-sparse gradient of an embedding table: ``rows[k]`` is the gradient
+    of table row ``idx[k]``; ``idx`` may contain duplicates."""
+    idx: jax.Array    # (K,) int32
+    rows: jax.Array   # (K, d)
+
+
+def _collapse_duplicates(idx: jax.Array, rows: jax.Array) -> jax.Array:
+    """Give every occurrence of a duplicated index the SUMMED row gradient.
+
+    This matters for Adam's second moment: the dense semantics square the
+    summed row gradient, not the per-occurrence pieces. Implemented as an
+    equality-matrix matmul — ``summed = (idx == idx.T) @ rows`` — which is
+    one small fp32 MXU contraction instead of a sort + segment-sum (XLA's
+    TPU sort costs more per step than the whole dense-scatter it replaces).
+    Because duplicates all carry identical values, the subsequent
+    ``.at[idx].set`` writes identical bytes for every occurrence, so the
+    scatter result is unique even though duplicate-index scatter order is
+    unspecified.
+    """
+    eq = (idx[:, None] == idx[None, :]).astype(rows.dtype)   # (K, K)
+    return jnp.dot(eq, rows, preferred_element_type=rows.dtype)
+
+
+def sparse_dense_adam_update(params, opt_state,
+                             sparse: Dict[str, TableGrad], *,
+                             lr: float, b1: float = 0.9, b2: float = 0.999,
+                             eps: float = 1e-8):
+    """One ``torch_adam(weight_decay=0)`` step with EXACT dense semantics,
+    restructured for row-sparse gradients.
+
+    torch's dense ``nn.Embedding`` gradient makes Adam touch every table row
+    every step (moments decay, params keep moving on momentum) — reproducing
+    that via materialized dense gradients costs two extra full-table passes
+    per step (zeros + scatter + re-read). This computes the SAME numbers as
+    ``torch_adam(lr).update`` on dense gradients without materializing them:
+
+      1. full-table pass with g = 0:  mu <- b1*mu, nu <- b2*nu,
+         p <- p - lr * mu_hat / (sqrt(nu_hat) + eps)   (one fused read+write)
+      2. exact fixup of the touched rows from their pre-update values,
+         scattered back with ``.set`` — bit-identical to what the dense
+         update would have produced for those rows.
+
+    ``params`` must be a NamedTuple of arrays whose first axis is the row
+    axis; ``sparse`` maps field names to row gradients; fields not in
+    ``sparse`` (e.g. the never-scored bias tables, ``model/MF.py:39-43``)
+    receive the pure-decay update. ``opt_state`` must be the
+    ``torch_adam``-chain state; weight decay must be 0 (the reference's MF
+    optimizer, ``model/transfer.py:392``).
+    """
+    empty1, adam_state, empty2 = opt_state
+    count_inc = optax.safe_int32_increment(adam_state.count)
+    bc1 = 1 - b1 ** count_inc.astype(jnp.float32)
+    bc2 = 1 - b2 ** count_inc.astype(jnp.float32)
+
+    def adam_from_moments(mu_new, nu_new, p):
+        mu_hat = mu_new / bc1
+        nu_hat = nu_new / bc2
+        return p + (-lr) * (mu_hat / (jnp.sqrt(nu_hat) + eps))
+
+    new_params = {}
+    new_mu = {}
+    new_nu = {}
+    for name in params._fields:
+        p = getattr(params, name)
+        mu = getattr(adam_state.mu, name)
+        nu = getattr(adam_state.nu, name)
+        if name in sparse:
+            idx, g_rows = sparse[name]
+            g_sum = _collapse_duplicates(idx, g_rows)
+            # pre-update values of the touched rows
+            p_rows = jnp.take(p, idx, axis=0)
+            mu_rows = jnp.take(mu, idx, axis=0)
+            nu_rows = jnp.take(nu, idx, axis=0)
+        # full-table decay-only pass (the dense update with g = 0)
+        mu_d = b1 * mu
+        nu_d = b2 * nu
+        p_d = adam_from_moments(mu_d, nu_d, p)
+        if name in sparse:
+            # exact dense math for the touched rows
+            mu_f = (1 - b1) * g_sum + b1 * mu_rows
+            nu_f = (1 - b2) * (g_sum ** 2) + b2 * nu_rows
+            p_f = adam_from_moments(mu_f, nu_f, p_rows)
+            mu_d = mu_d.at[idx].set(mu_f)
+            nu_d = nu_d.at[idx].set(nu_f)
+            p_d = p_d.at[idx].set(p_f)
+        new_params[name] = p_d
+        new_mu[name] = mu_d
+        new_nu[name] = nu_d
+
+    cls = type(params)
+    state = (empty1,
+             adam_state._replace(count=count_inc, mu=cls(**new_mu),
+                                 nu=cls(**new_nu)),
+             empty2)
+    return cls(**new_params), state

@@ -33,6 +33,7 @@ from sml_tpu.models.transfer import TransferParams, apply_rows
 from sml_tpu.ops.batching import num_batches, shuffle_real_first
 from sml_tpu.ops.losses import bce_pair_loss, bpr_loss, l2_embedding_penalty
 from sml_tpu.ops.sampling import PeriodIndex, sample_negatives
+from sml_tpu.train.optim import TableGrad, sparse_dense_adam_update
 
 
 def scan_epoch(carry, rows, mask, n_real, key, batch_size, step_fn):
@@ -98,19 +99,26 @@ def _epoch_triples(rows, key, mode):
 
 
 def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
-    """Inner (MF) epoch; trains the MF pytree through frozen Θ."""
+    """Inner (MF) epoch; trains the MF pytree through frozen Θ.
+
+    With ``cfg.fast_table_adam`` (default) the optimizer step differentiates
+    w.r.t. the GATHERED embedding rows and applies
+    :func:`sparse_dense_adam_update` — same numbers as the dense-gradient
+    path, two fewer full-table memory passes per step.
+    """
     tcfg = cfg.transfer
     batch = cfg.mf_batch_size
     mode = cfg.mf_sample
 
-    def loss_fn(mfp, theta, last_u, last_i, u, i, j, m):
-        xu = mfp.user_emb[u]
-        xi = mfp.item_emb[i]
-        xj = mfp.item_emb[j]
-        loss = transferred_pair_loss(theta, tcfg, last_u[u], last_i[i],
-                                     last_i[j], xu, xi, xj, m, cfg.use_bce)
+    def row_loss(xu, xi, xj, theta, lu, li, lj, m):
+        loss = transferred_pair_loss(theta, tcfg, lu, li, lj,
+                                     xu, xi, xj, m, cfg.use_bce)
         # l2 * 0.5 * sum over batch embeddings (transfer.py:486-488)
         return loss + cfg.mf_l2 * l2_embedding_penalty(m, xu, xi, xj)
+
+    def loss_fn(mfp, theta, last_u, last_i, u, i, j, m):
+        return row_loss(mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],
+                        theta, last_u[u], last_i[i], last_i[j], m)
 
     def epoch(mfp, opt, theta, last_u, last_i, rows, mask, n_real, key,
               index: Optional[PeriodIndex] = None):
@@ -124,6 +132,19 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
                 j = r[:, 2]
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
+            if cfg.fast_table_adam:
+                loss, (gu, gi, gj) = jax.value_and_grad(
+                    row_loss, argnums=(0, 1, 2))(
+                    mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],
+                    theta, last_u[u], last_i[i], last_i[j], m)
+                sparse = {
+                    "user_emb": TableGrad(u, gu),
+                    "item_emb": TableGrad(jnp.concatenate([i, j]),
+                                          jnp.concatenate([gi, gj], axis=0)),
+                }
+                mfp, opt = sparse_dense_adam_update(mfp, opt, sparse,
+                                                    lr=cfg.mf_lr)
+                return (mfp, opt), loss
             loss, grads = jax.value_and_grad(loss_fn)(
                 mfp, theta, last_u, last_i, u, i, j, m)
             updates, opt = mf_tx.update(grads, opt, mfp)
@@ -175,12 +196,27 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
 
 def make_plain_mf_epoch(batch_size: int, l2_user: float, l2_item: float,
                         tx: optax.GradientTransformation, neg_tries: int = 16,
-                        biased: bool = False):
+                        biased: bool = False, fast_lr: Optional[float] = None):
     """Plain BCE-MF epoch for the pretrainer / full-retrain / fine-tune
     baselines (``model/baseline.py:179-201,338-361``): mean-BCE plus per-side
-    summed L2, uniform rejection-sampled negatives."""
+    summed L2, uniform rejection-sampled negatives.
+
+    ``fast_lr``: when set (and ``biased`` is False), the step uses
+    :func:`sparse_dense_adam_update` at that learning rate instead of the
+    dense-gradient optax path — identical numbers, less HBM traffic. The
+    biased variant scores through the bias tables, whose row-sparse grads
+    aren't plumbed here, so it keeps the dense path.
+    """
     from sml_tpu.models.mf import score_pairs, score_pairs_biased
     score = score_pairs_biased if biased else score_pairs
+
+    def row_loss(xu, xi, xj, m):
+        pos = jnp.sum(xu * xi, axis=-1)
+        neg = jnp.sum(xu * xj, axis=-1)
+        bce = bce_pair_loss(pos, neg, m)
+        l2 = l2_user * l2_embedding_penalty(m, xu) \
+            + l2_item * l2_embedding_penalty(m, xi, xj)
+        return bce + l2
 
     def loss_fn(mfp, u, i, j, m):
         pos = score(mfp, u, i)
@@ -193,11 +229,25 @@ def make_plain_mf_epoch(batch_size: int, l2_user: float, l2_item: float,
             + l2_item * l2_embedding_penalty(m, xi, xj)
         return bce + l2
 
+    use_fast = fast_lr is not None and not biased
+
     def epoch(mfp, opt, rows, mask, n_real, key, index: PeriodIndex):
         def step(c, r, m, k):
             mfp, opt = c
             u, i = r[:, 0], r[:, 1]
             j = sample_negatives(index, u, k, neg_tries)
+            if use_fast:
+                loss, (gu, gi, gj) = jax.value_and_grad(
+                    row_loss, argnums=(0, 1, 2))(
+                    mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j], m)
+                sparse = {
+                    "user_emb": TableGrad(u, gu),
+                    "item_emb": TableGrad(jnp.concatenate([i, j]),
+                                          jnp.concatenate([gi, gj], axis=0)),
+                }
+                mfp, opt = sparse_dense_adam_update(mfp, opt, sparse,
+                                                    lr=fast_lr)
+                return (mfp, opt), loss
             loss, grads = jax.value_and_grad(loss_fn)(mfp, u, i, j, m)
             updates, opt = tx.update(grads, opt, mfp)
             mfp = optax.apply_updates(mfp, updates)
