@@ -86,7 +86,9 @@ def main():
                                      last_i[i], last_i[j], mfp.user_emb[u],
                                      mfp.item_emb[i], mfp.item_emb[j], m, True)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_steps(mfp, opt):
         def body(c, b):
             mfp, opt = c

@@ -204,8 +204,8 @@ def main(argv=None) -> int:
                     choices=["all", "alone"])
     ps.add_argument("--tr-stop", action="store_true")
     ps.add_argument("--transfer-type", default="conv_com",
-                    choices=["conv_com", "conv2ch", "mlp_delta", "linear",
-                             "gru", "gated"])
+                    choices=["conv_com", "conv2ch", "conv_com_root",
+                             "mlp_delta", "linear", "gru", "gated"])
     ps.add_argument("--seed", type=int, default=2000)
     ps.add_argument("--load-w-hat", action="store_true",
                     help="restore MF <- W_hat after each outer step "

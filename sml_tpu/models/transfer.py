@@ -111,6 +111,49 @@ def build_x_com(x_t: jax.Array, x_hat: jax.Array) -> jax.Array:
     return jax.lax.stop_gradient(jnp.where(norm > 0, prod / safe, 0.0))
 
 
+class ConvRootTower(NamedTuple):
+    """Tower of the ``conv_com_root`` variant (the reference's
+    ``ConvTransfer_com2`` / ``ConvTransfer_com3`` — byte-identical twins,
+    ``conv_transfer.py:164-181`` vs ``:201-218``): kernel-2 conv over
+    ``[x_t, x_hat]``, then the 4th-root interaction channel
+    ``|x_t|^1/2 ⊙ |x_hat|^1/2`` (detached) concatenated AFTER the flatten,
+    GELU applied to the concatenation (``one_transfer_com.forward``,
+    ``conv_transfer.py:150-162``)."""
+    conv1_w: jax.Array   # (C1, 2)
+    conv1_b: jax.Array   # (C1,)
+    fc1_w: jax.Array     # (C1*d + d, H)
+    fc1_b: jax.Array     # (H,)
+    fc2_w: jax.Array     # (H, d)
+    fc2_b: jax.Array     # (d,)
+
+
+def _init_conv_root(key, cfg: TransferConfig, dtype) -> ConvRootTower:
+    d, c1, h = cfg.latent_dim, cfg.conv1_channels, cfg.fc_hidden
+    ks = jax.random.split(key, 6)
+    fan1 = c1 * d + d
+    return ConvRootTower(
+        conv1_w=_uniform(ks[0], (c1, 2), 2, dtype),
+        conv1_b=_uniform(ks[1], (c1,), 2, dtype),
+        fc1_w=_uniform(ks[2], (fan1, h), fan1, dtype),
+        fc1_b=_uniform(ks[3], (h,), fan1, dtype),
+        fc2_w=_uniform(ks[4], (h, d), h, dtype),
+        fc2_b=_uniform(ks[5], (d,), h, dtype),
+    )
+
+
+def _conv_root_apply(tw: ConvRootTower, x_t: jax.Array,
+                     x_hat: jax.Array) -> jax.Array:
+    x_com = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.sqrt(x_t * x_t)) * jnp.sqrt(jnp.sqrt(x_hat * x_hat)))
+    stack = jnp.stack([x_t, x_hat], axis=1)                  # (N, 2, d)
+    h1 = jnp.einsum("ck,nkj->ncj", tw.conv1_w, stack) \
+        + tw.conv1_b[None, :, None]                          # (N, C1, d)
+    flat = h1.reshape(x_t.shape[0], -1)                      # (N, C1*d)
+    cat = gelu_sig(jnp.concatenate([flat, x_com], axis=-1))
+    h3 = gelu_sig(cat @ tw.fc1_w + tw.fc1_b)
+    return h3 @ tw.fc2_w + tw.fc2_b
+
+
 # ---------------------------------------------------------------------------
 # alternative variants (capability parity with model/transfer.py:94-291)
 # ---------------------------------------------------------------------------
@@ -230,6 +273,9 @@ def init_transfer(key: jax.Array, cfg: TransferConfig,
     if cfg.kind == "conv2ch":
         return TransferParams(_init_conv_tower(ku, cfg, dtype, in_channels=2),
                               _init_conv_tower(ki, cfg, dtype, in_channels=2))
+    if cfg.kind == "conv_com_root":
+        return TransferParams(_init_conv_root(ku, cfg, dtype),
+                              _init_conv_root(ki, cfg, dtype))
     if cfg.kind == "mlp_delta":
         return TransferParams(_init_mlp_delta(ku, cfg, dtype),
                               _init_mlp_delta(ki, cfg, dtype))
@@ -264,6 +310,8 @@ def apply_rows(theta: TransferParams, cfg: TransferConfig, side: str,
             norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
             out = out / jax.lax.stop_gradient(jnp.where(norm > 0, norm, 1.0))
         return out
+    if cfg.kind == "conv_com_root":
+        return _conv_root_apply(tower, x_t, x_hat)
     if cfg.kind == "mlp_delta":
         return _mlp_delta_apply(tower, x_t, x_hat)
     if cfg.kind == "linear":

@@ -21,8 +21,8 @@ def _params(kind="conv_com"):
     return T.init_transfer(jax.random.PRNGKey(0), cfg), cfg
 
 
-@pytest.mark.parametrize("kind", ["conv_com", "conv2ch", "mlp_delta",
-                                  "linear", "gru", "gated"])
+@pytest.mark.parametrize("kind", ["conv_com", "conv2ch", "conv_com_root",
+                                  "mlp_delta", "linear", "gru", "gated"])
 def test_shapes_all_kinds(kind, rng):
     theta, cfg = _params(kind)
     x_t = jnp.asarray(rng.normal(size=(12, CFG.latent_dim)), jnp.float32)
@@ -143,3 +143,46 @@ def test_zero_last_rows_are_finite(rng):
     x_hat = jnp.asarray(rng.normal(size=(4, CFG.latent_dim)), jnp.float32)
     out = T.apply_rows(theta, cfg, "user", x_t, x_hat)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_com_root_matches_torch(rng):
+    """conv_com_root == the reference's ConvTransfer_com2/com3 forward
+    (conv_transfer.py:137-181): Conv2d(1,C1,(2,1)) over [x_t,x_hat], flatten,
+    concat the detached 4th-root channel, gelu, FC, gelu, FC."""
+    torch = pytest.importorskip("torch")
+    theta, cfg = _params("conv_com_root")
+    tw = theta.user
+    d, c1, h = CFG.latent_dim, CFG.conv1_channels, CFG.fc_hidden
+
+    x_t = rng.normal(size=(9, d)).astype(np.float32)
+    x_hat = rng.normal(size=(9, d)).astype(np.float32)
+
+    ours = np.asarray(T.apply_rows(theta, cfg, "user",
+                                   jnp.asarray(x_t), jnp.asarray(x_hat)))
+
+    with torch.no_grad():
+        xt = torch.tensor(x_t)
+        xh = torch.tensor(x_hat)
+        com = (xt ** 2).sqrt().sqrt() * (xh ** 2).sqrt().sqrt()
+        img = torch.stack([xt, xh], dim=1).reshape(-1, 1, 2, d)
+
+        conv1 = torch.nn.Conv2d(1, c1, (2, 1))
+        conv1.weight.copy_(torch.tensor(np.asarray(tw.conv1_w))
+                           .reshape(c1, 1, 2, 1))
+        conv1.bias.copy_(torch.tensor(np.asarray(tw.conv1_b)))
+        fc1 = torch.nn.Linear(c1 * d + d, h)
+        fc1.weight.copy_(torch.tensor(np.asarray(tw.fc1_w)).T)
+        fc1.bias.copy_(torch.tensor(np.asarray(tw.fc1_b)))
+        fc2 = torch.nn.Linear(h, d)
+        fc2.weight.copy_(torch.tensor(np.asarray(tw.fc2_w)).T)
+        fc2.bias.copy_(torch.tensor(np.asarray(tw.fc2_b)))
+
+        def gelu(v):
+            return v * torch.sigmoid(1.702 * v)
+
+        y = conv1(img).reshape(-1, c1 * d)
+        y = gelu(torch.cat((y, com), dim=-1))
+        y = gelu(fc1(y))
+        want = fc2(y).numpy()
+
+    np.testing.assert_allclose(ours, want, rtol=2e-5, atol=2e-5)
