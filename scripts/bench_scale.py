@@ -22,6 +22,7 @@ Adam moments 3.2 GB, transient dense grads 1.5 GB -> ~9.5 GB of 16 GB HBM.
 Diagnostics to stderr; one JSON line to stdout. Run exclusively.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -31,8 +32,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_USERS, N_ITEMS, DIM, BATCH = 5_000_000, 1_000_000, 64, 1024
-STEPS = 100          # inner steps per timed program
+ap = argparse.ArgumentParser()
+ap.add_argument("--users", type=int, default=5_000_000)
+ap.add_argument("--items", type=int, default=1_000_000)
+ap.add_argument("--steps", type=int, default=100)
+ap.add_argument("--skip-train", action="store_true")
+ap.add_argument("--fast-adam", action="store_true",
+                help="use sparse_dense_adam_update in the train step")
+ARGS = ap.parse_args()
+
+N_USERS, N_ITEMS, DIM, BATCH = ARGS.users, ARGS.items, 64, 1024
+STEPS = ARGS.steps   # inner steps per timed program
 TOPK = 100
 SERVE_BATCH = 1024
 SERVE_REPS = 50
@@ -80,35 +90,58 @@ def main():
 
     m = jnp.ones((BATCH,), jnp.float32)
 
-    def loss_fn(mfp, b):
+    # NOTE: every big array is an explicit jit ARGUMENT — the axon remote
+    # compile serializes closed-over device arrays into the compile request
+    # and rejects bodies over its length limit (HTTP 413).
+    def loss_fn(mfp, lu, li, b):
         u, i, j = b[:, 0], b[:, 1], b[:, 2]
-        return transferred_pair_loss(theta, cfg.transfer, last_u[u],
-                                     last_i[i], last_i[j], mfp.user_emb[u],
+        return transferred_pair_loss(theta, cfg.transfer, lu[u],
+                                     li[i], li[j], mfp.user_emb[u],
                                      mfp.item_emb[i], mfp.item_emb[j], m, True)
 
     import functools
 
+    from sml_tpu.train.optim import TableGrad, sparse_dense_adam_update
+
+    def row_loss(xu, xi, xj, lu_r, li_r, lj_r):
+        return transferred_pair_loss(theta, cfg.transfer, lu_r, li_r, lj_r,
+                                     xu, xi, xj, m, True)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_steps(mfp, opt):
+    def train_steps(mfp, opt, lu, li, rows):
         def body(c, b):
             mfp, opt = c
-            grads = jax.grad(loss_fn)(mfp, b)
+            if ARGS.fast_adam:
+                u, i, j = b[:, 0], b[:, 1], b[:, 2]
+                gu, gi, gj = jax.grad(row_loss, argnums=(0, 1, 2))(
+                    mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],
+                    lu[u], li[i], li[j])
+                sparse = {"user_emb": TableGrad(u, gu),
+                          "item_emb": TableGrad(jnp.concatenate([i, j]),
+                                                jnp.concatenate([gi, gj],
+                                                                axis=0))}
+                mfp, opt = sparse_dense_adam_update(mfp, opt, sparse,
+                                                    lr=cfg.mf_lr)
+                return (mfp, opt), jnp.float32(0)
+            grads = jax.grad(loss_fn)(mfp, lu, li, b)
             updates, opt = tx.update(grads, opt, mfp)
             return (optax.apply_updates(mfp, updates), opt), jnp.float32(0)
         (mfp, opt), _ = lax.scan(body, (mfp, opt), rows)
         return mfp, opt
 
-    t0 = time.time()
-    mf, opt = train_steps(mf, opt)
-    jax.block_until_ready(mf.user_emb)
-    log(f"inner compile+first {STEPS} steps: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    mf, opt = train_steps(mf, opt)
-    jax.block_until_ready(mf.user_emb)
-    dt = time.time() - t0
-    train_ex_s = STEPS * BATCH / dt
-    log(f"inner train: {STEPS} steps x {BATCH} in {dt:.2f}s -> "
-        f"{train_ex_s:,.0f} ex/s ({dt / STEPS * 1e3:.2f} ms/step)")
+    train_ex_s = None
+    if not ARGS.skip_train:
+        t0 = time.time()
+        mf, opt = train_steps(mf, opt, last_u, last_i, rows)
+        jax.block_until_ready(mf.user_emb)
+        log(f"inner compile+first {STEPS} steps: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        mf, opt = train_steps(mf, opt, last_u, last_i, rows)
+        jax.block_until_ready(mf.user_emb)
+        dt = time.time() - t0
+        train_ex_s = STEPS * BATCH / dt
+        log(f"inner train: {STEPS} steps x {BATCH} in {dt:.2f}s -> "
+            f"{train_ex_s:,.0f} ex/s ({dt / STEPS * 1e3:.2f} ms/step)")
 
     # ---- full-table transfer refresh, XLA vs fused Pallas
     def time_refresh(fn, tag, reps=3):
@@ -168,7 +201,8 @@ def main():
 
     print(json.dumps({
         "shape": {"users": N_USERS, "items": N_ITEMS, "dim": DIM},
-        "inner_train_examples_per_s": round(train_ex_s, 1),
+        "inner_train_examples_per_s": (round(train_ex_s, 1)
+                                       if train_ex_s else None),
         "refresh_xla_ms": round(refresh_xla * 1e3, 1),
         "refresh_pallas_ms": (round(refresh_pallas * 1e3, 1)
                               if refresh_pallas else None),

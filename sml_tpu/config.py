@@ -104,6 +104,11 @@ class SMLConfig:
     # loss used inside run_MF: the live default is BCE (conv_transfer.py:114)
     use_bce: bool = True
 
+    # Background-thread prefetch of the next period's files + pools while
+    # the device trains the current period (the TPU analogue of the
+    # reference's unused CUDA-stream prefetcher, dataset2.py:11-48).
+    prefetch_periods: bool = True
+
     # Row-sparse formulation of the dense torch-Adam table update (same
     # numbers; see sparse_dense_adam_update). Measured SLOWER than the
     # dense-gradient optax path on TPU v5e at the bench shape (0.94 vs 0.71

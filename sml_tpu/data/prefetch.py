@@ -1,0 +1,74 @@
+"""Async period prefetch: overlap host-side period IO with device training.
+
+The reference ships (but never instantiates) a CUDA-stream batch prefetcher
+(``data/dataset2.py:11-48``). The TPU-appropriate analogue works at PERIOD
+granularity: while the device trains period t, a background thread already
+reads period t+1's ``.npy`` files and assembles its ``StageData`` (including
+the negative-pool selection), so ``next_train`` returns immediately at the
+period boundary.
+
+``PrefetchingFeeder`` wraps any feeder exposing ``next_train(d_time)`` /
+``reinit()``. Periods are requested in strictly increasing ``d_time`` order
+by the SML driver (``run``, driver.py), which makes a one-slot lookahead
+sound: after serving t we immediately schedule t+1. Out-of-order requests
+fall through to the inner feeder (correct, just not prefetched).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Optional
+
+
+class PrefetchingFeeder:
+    def __init__(self, inner, lookahead: bool = True):
+        self._inner = inner
+        self._enabled = lookahead
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="sml-prefetch")
+        self._pending: Optional[Future] = None
+        self._pending_time: Optional[int] = None
+
+    # pass-through surface of PeriodFeeder
+    @property
+    def n_users(self) -> int:
+        return self._inner.n_users
+
+    @property
+    def n_items(self) -> int:
+        return self._inner.n_items
+
+    @property
+    def info(self):
+        return self._inner.info
+
+    def reinit(self) -> None:
+        self._cancel()
+        self._inner.reinit()
+
+    def _cancel(self) -> None:
+        if self._pending is not None:
+            # the worker is read-only over period files; just await it
+            try:
+                self._pending.result()
+            except Exception:
+                pass
+        self._pending = None
+        self._pending_time = None
+
+    def next_train(self, d_time: int):
+        if self._pending is not None and self._pending_time == d_time:
+            fut, self._pending, self._pending_time = self._pending, None, None
+            sd = fut.result()
+        else:
+            self._cancel()
+            sd = self._inner.next_train(d_time)
+        if self._enabled and sd.set_t is not None:
+            self._pending_time = d_time + 1
+            self._pending = self._pool.submit(self._inner.next_train,
+                                              d_time + 1)
+        return sd
+
+    def close(self) -> None:
+        self._cancel()
+        self._pool.shutdown(wait=False)

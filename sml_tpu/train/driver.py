@@ -61,6 +61,9 @@ class SMLDriver:
         self.feeder = PeriodFeeder(
             spec, mf_sample=cfg.mf_sample, tr_sample_type=cfg.tr_sample_type,
             tr_stop=cfg.tr_stop)
+        if cfg.prefetch_periods:
+            from sml_tpu.data.prefetch import PrefetchingFeeder
+            self.feeder = PrefetchingFeeder(self.feeder)
         self.engine = engine or SMLEngine(
             cfg, self.feeder.n_users, self.feeder.n_items)
         self.logger = logger or MetricsLogger(None)

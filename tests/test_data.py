@@ -93,3 +93,41 @@ def test_streaming_periods(synthetic_dataset):
     np.testing.assert_array_equal(fine, load_train(dspec.path, 4))
     none_train, none_test = stream.get_next(spec.n_periods + 1)
     assert none_train is None
+
+
+def test_prefetching_feeder_equivalence(synthetic_dataset):
+    """PrefetchingFeeder yields exactly the same StageData sequence as the
+    plain feeder, across multi-pass reinit, including the stateful test
+    cursor."""
+    from sml_tpu.data.prefetch import PrefetchingFeeder
+
+    dspec, info, spec = synthetic_dataset
+
+    def sweep(feeder):
+        out = []
+        for _pass in range(2):
+            feeder.reinit()
+            d_time = 0
+            while True:
+                sd = feeder.next_train(d_time)
+                out.append(sd)
+                if sd.set_t is None:
+                    break
+                d_time += 1
+        return out
+
+    plain = sweep(PeriodFeeder(dspec, mf_sample="alone",
+                               tr_sample_type="alone"))
+    pre_feeder = PrefetchingFeeder(
+        PeriodFeeder(dspec, mf_sample="alone", tr_sample_type="alone"))
+    pre = sweep(pre_feeder)
+    pre_feeder.close()
+
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        for fa, fb in zip(a, b):
+            if fa is None:
+                assert fb is None
+            else:
+                np.testing.assert_array_equal(fa, fb)
+    assert pre_feeder.n_users == info.n_users
