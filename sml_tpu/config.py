@@ -48,6 +48,16 @@ class DataSpec:
         return f"{self.root.rstrip('/')}/{self.name}"
 
 
+# crossover point for the row-sparse dense-Adam formulation (see
+# SMLConfig.fast_table_adam): combined table rows at which it starts
+# beating the dense-gradient path on TPU v5e
+FAST_TABLE_ADAM_AUTO_ROWS = 1_000_000
+
+
+def resolve_fast_table_adam(flag: Optional[bool], n_rows: int) -> bool:
+    return flag if flag is not None else n_rows >= FAST_TABLE_ADAM_AUTO_ROWS
+
+
 @dataclass(frozen=True)
 class TransferConfig:
     """Conv transfer network Θ (reference ``model/conv_transfer.py:18-50,87-110``).
@@ -110,12 +120,13 @@ class SMLConfig:
     prefetch_periods: bool = True
 
     # Row-sparse formulation of the dense torch-Adam table update (same
-    # numbers; see sparse_dense_adam_update). Measured SLOWER than the
-    # dense-gradient optax path on TPU v5e at the bench shape (0.94 vs 0.71
-    # ms/step: the scatter-sets break XLA's elementwise fusion and cost more
-    # than the dense-grad materialization they avoid), so the literal dense
-    # path is the default.
-    fast_table_adam: bool = False
+    # numbers; see sparse_dense_adam_update). Crossover measured on v5e:
+    # SLOWER at small tables (120k rows: 0.94 vs 0.71 ms/step — the
+    # scatter-sets break XLA's elementwise fusion) but 1.4x FASTER at
+    # production tables (3M rows: 16.1 vs 22.4 ms/step, where the avoided
+    # dense-grad materialization dominates). None = auto: on when the
+    # combined tables exceed FAST_TABLE_ADAM_AUTO_ROWS.
+    fast_table_adam: Optional[bool] = None
 
     # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
     # on its compute_performance path (transfer.py:738-741), which is active

@@ -142,10 +142,13 @@ class BaselineDriver:
         self.rng = np.random.default_rng(cfg.seed)
         self.reservoir = Reservoir(cfg.pool_size, self.rng)
 
+        from sml_tpu.config import resolve_fast_table_adam
+        fast = resolve_fast_table_adam(None, info.n_users + info.n_items)
         self.tx = torch_adam(cfg.lr, weight_decay=0.0)
         self._epoch = jax.jit(
             make_plain_mf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,
-                                self.tx, cfg.neg_tries),
+                                self.tx, cfg.neg_tries,
+                                fast_lr=cfg.lr if fast else None),
             donate_argnums=(0, 1))
         self._spmf_epoch = jax.jit(
             _make_spmf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,

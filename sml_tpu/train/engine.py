@@ -45,6 +45,9 @@ class SMLState(NamedTuple):
 
 class SMLEngine:
     def __init__(self, cfg: SMLConfig, n_users: int, n_items: int):
+        from sml_tpu.config import resolve_fast_table_adam
+        cfg = cfg.replace(fast_table_adam=resolve_fast_table_adam(
+            cfg.fast_table_adam, n_users + n_items))
         self.cfg = cfg
         self.n_users = n_users
         self.n_items = n_items

@@ -42,10 +42,14 @@ def pretrain_mf(cfg: PretrainConfig, spec: DataSpec, pretrain_period: int,
     if train is None:
         raise ValueError(f"no data for pretrain period {pretrain_period}")
 
+    from sml_tpu.config import resolve_fast_table_adam
+    fast = resolve_fast_table_adam(None,
+                                   stream.info.n_users + stream.info.n_items)
     tx = torch_adam(cfg.lr, weight_decay=0.0)
     epoch_fn = jax.jit(
         make_plain_mf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item, tx,
-                            cfg.neg_tries),
+                            cfg.neg_tries,
+                            fast_lr=cfg.lr if fast else None),
         donate_argnums=(0, 1))
     eval_fn = jax.jit(make_eval_fn(topks, 1024))
 
