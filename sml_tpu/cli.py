@@ -108,6 +108,14 @@ def cmd_sml(args) -> int:
             driver.feeder.next_train(d_time)  # advance test cursor
         d_time += 1
 
+    if args.save_model:
+        np.savez(args.save_model,
+                 user_emb=np.asarray(state.mf.user_emb),
+                 item_emb=np.asarray(state.mf.item_emb),
+                 user_bias=np.asarray(state.mf.user_bias),
+                 item_bias=np.asarray(state.mf.item_bias))
+        print(f"saved final tables to {args.save_model}", file=sys.stderr)
+
     summary = driver.report.summary()
     print(json.dumps(summary, indent=2))
     return 0
@@ -180,6 +188,62 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from sml_tpu.data.ingest import IngestSpec, ingest_csv
+
+    spec = IngestSpec(n_periods=args.periods,
+                      first_test_period=args.first_test,
+                      neg_num=args.neg_num, split=args.split, seed=args.seed)
+    info = ingest_csv(args.csv, args.out, spec,
+                      user_col=args.user_col, item_col=args.item_col,
+                      time_col=args.time_col, delimiter=args.delimiter,
+                      skip_header=args.skip_header)
+    print(json.dumps(dataclasses.asdict(info)))
+    return 0
+
+
+def cmd_rank(args) -> int:
+    """Full-catalog top-K serving from trained tables (the production path
+    the reference approximates with 999-negative eval; ``model/MF.py:45-57``
+    scoring over all items instead of a candidate slate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sml_tpu.eval.full_ranking import recommend
+    from sml_tpu.models.mf import MFParams
+
+    blob = np.load(args.model)
+    mf = MFParams(user_emb=jnp.asarray(blob["user_emb"]),
+                  item_emb=jnp.asarray(blob["item_emb"]),
+                  user_bias=jnp.asarray(blob["user_bias"]),
+                  item_bias=jnp.asarray(blob["item_bias"]))
+
+    if args.users:
+        users = np.asarray([int(u) for u in args.users.split(",")], np.int32)
+    else:
+        with open(args.users_file) as fh:
+            users = np.asarray([int(line) for line in fh if line.strip()],
+                               np.int32)
+
+    mesh = None
+    if args.shard and len(jax.devices()) > 1:
+        from sml_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(1, len(jax.devices()))
+
+    for start in range(0, users.shape[0], args.batch_size):
+        chunk = jnp.asarray(users[start:start + args.batch_size])
+        scores, items = recommend(mf, chunk, args.k, mesh=mesh)
+        scores = np.asarray(scores)
+        items = np.asarray(items)
+        for r in range(chunk.shape[0]):
+            print(json.dumps({"user": int(chunk[r]),
+                              "items": items[r].tolist(),
+                              "scores": [round(float(s), 4)
+                                         for s in scores[r]]}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("sml_tpu")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -191,6 +255,9 @@ def main(argv=None) -> int:
     _add_data_args(ps)
     ps.add_argument("--pre-model", default=None,
                     help=".npz from `pretrain` (reference --pre_model)")
+    ps.add_argument("--save-model", default=None,
+                    help="write the final transferred tables as .npz "
+                         "(consumable by `rank`)")
     ps.add_argument("--multi-num", type=int, default=None)
     ps.add_argument("--mf-epochs", type=int, default=None)
     ps.add_argument("--tr-epochs", type=int, default=None)
@@ -256,6 +323,36 @@ def main(argv=None) -> int:
     pg.add_argument("--neg-num", type=int, default=999)
     pg.add_argument("--seed", type=int, default=0)
     pg.set_defaults(fn=cmd_synth)
+
+    pi = sub.add_parser("ingest", help="raw (user,item,timestamp) CSV log "
+                                       "-> period-file dataset")
+    pi.add_argument("--csv", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--periods", type=int, required=True)
+    pi.add_argument("--first-test", type=int, required=True)
+    pi.add_argument("--neg-num", type=int, default=999)
+    pi.add_argument("--split", default="count", choices=["count", "time"])
+    pi.add_argument("--user-col", type=int, default=0)
+    pi.add_argument("--item-col", type=int, default=1)
+    pi.add_argument("--time-col", type=int, default=2)
+    pi.add_argument("--delimiter", default=",")
+    pi.add_argument("--skip-header", type=int, default=1)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pr = sub.add_parser("rank", help="exact full-catalog top-K "
+                                     "recommendations from trained tables")
+    pr.add_argument("--model", required=True,
+                    help=".npz with user_emb/item_emb/user_bias/item_bias "
+                         "(pretrain output or exported SML tables)")
+    g = pr.add_mutually_exclusive_group(required=True)
+    g.add_argument("--users", default=None, help="comma list of user ids")
+    g.add_argument("--users-file", default=None, help="file of user ids")
+    pr.add_argument("-k", type=int, default=20)
+    pr.add_argument("--batch-size", type=int, default=1024)
+    pr.add_argument("--shard", action="store_true",
+                    help="row-shard the item table over all devices")
+    pr.set_defaults(fn=cmd_rank)
 
     args = p.parse_args(argv)
     if args.platform:
