@@ -81,7 +81,8 @@ def main():
     opt = tx.init(mf)
     jax.block_until_ready(opt[1].mu.user_emb)
     log(f"state allocated in {time.time() - t0:.1f}s "
-        f"(~{(3 * (N_USERS + N_ITEMS) * DIM * 4 * 3) / 2**30:.1f} GiB tables+moments)")
+        f"(~{(3 * (N_USERS + N_ITEMS) * DIM * 4) / 2**30:.1f} GiB "
+        f"tables+moments, plus last/hat snapshots)")
 
     rows = jnp.asarray(np.stack(
         [rng.integers(0, N_USERS, (STEPS, BATCH)),

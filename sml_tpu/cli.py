@@ -64,8 +64,11 @@ def cmd_sml(args) -> int:
         tr_epochs=args.tr_epochs if args.tr_epochs is not None else preset.tr_epochs,
         mf_lr=args.mf_lr, mf_l2=args.mf_l2, tr_lr=args.tr_lr,
         tr_l2=args.tr_l2, latent_dim=args.latent,
-        transfer=C.TransferConfig(latent_dim=args.latent,
-                                  kind=args.transfer_type),
+        # the reference's com2/com3 tower is 1024-wide (one_transfer_com,
+        # conv_transfer.py:146-149); the conv_com tower is 512
+        transfer=C.TransferConfig(
+            latent_dim=args.latent, kind=args.transfer_type,
+            fc_hidden=1024 if args.transfer_type == "conv_com_root" else 512),
         mf_sample=args.mf_sample, tr_sample_type=args.tr_sample_type,
         tr_stop=args.tr_stop, load_w_hat=args.load_w_hat,
         pass_num=args.pass_num, seed=args.seed,
@@ -225,6 +228,12 @@ def cmd_rank(args) -> int:
         with open(args.users_file) as fh:
             users = np.asarray([int(line) for line in fh if line.strip()],
                                np.int32)
+    n_users = mf.user_emb.shape[0]
+    bad = users[(users < 0) | (users >= n_users)]
+    if bad.size:
+        print(f"error: user ids out of range [0, {n_users}): "
+              f"{bad[:10].tolist()}", file=sys.stderr)
+        return 2
 
     mesh = None
     if args.shard and len(jax.devices()) > 1:

@@ -54,8 +54,18 @@ class DataSpec:
 FAST_TABLE_ADAM_AUTO_ROWS = 1_000_000
 
 
-def resolve_fast_table_adam(flag: Optional[bool], n_rows: int) -> bool:
-    return flag if flag is not None else n_rows >= FAST_TABLE_ADAM_AUTO_ROWS
+# the fast path's duplicate collapse builds a (2*batch, 2*batch) equality
+# matrix per step; above this batch size that matrix dominates, so auto
+# stays on the dense path
+FAST_TABLE_ADAM_MAX_BATCH = 2048
+
+
+def resolve_fast_table_adam(flag: Optional[bool], n_rows: int,
+                            batch_size: int = 0) -> bool:
+    if flag is not None:
+        return flag
+    return (n_rows >= FAST_TABLE_ADAM_AUTO_ROWS
+            and batch_size <= FAST_TABLE_ADAM_MAX_BATCH)
 
 
 @dataclass(frozen=True)

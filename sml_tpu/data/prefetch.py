@@ -8,10 +8,11 @@ the negative-pool selection), so ``next_train`` returns immediately at the
 period boundary.
 
 ``PrefetchingFeeder`` wraps any feeder exposing ``next_train(d_time)`` /
-``reinit()``. Periods are requested in strictly increasing ``d_time`` order
-by the SML driver (``run``, driver.py), which makes a one-slot lookahead
-sound: after serving t we immediately schedule t+1. Out-of-order requests
-fall through to the inner feeder (correct, just not prefetched).
+``reinit()``. Periods MUST be requested in strictly increasing ``d_time``
+order between ``reinit()`` calls (the SML driver's and the CLI resume
+loop's contract): the inner feeder's test cursor advances on every call, so
+once t+1 has been prefetched, serving anything other than t+1 next would
+silently read the wrong test period — the wrapper raises instead.
 """
 
 from __future__ import annotations
@@ -60,8 +61,15 @@ class PrefetchingFeeder:
         if self._pending is not None and self._pending_time == d_time:
             fut, self._pending, self._pending_time = self._pending, None, None
             sd = fut.result()
+        elif self._pending is not None:
+            # the prefetch already advanced the inner feeder's test cursor
+            # for _pending_time; serving any other period now would read the
+            # wrong test file — fail loudly instead
+            raise RuntimeError(
+                f"PrefetchingFeeder: period {self._pending_time} was "
+                f"prefetched but {d_time} was requested; consume periods "
+                f"sequentially or call reinit()")
         else:
-            self._cancel()
             sd = self._inner.next_train(d_time)
         if self._enabled and sd.set_t is not None:
             self._pending_time = d_time + 1

@@ -68,8 +68,11 @@ def generate_synthetic_dataset(path: str, spec: SyntheticSpec) -> DatasetInfo:
     users_seen_before_test: set = set()
     items_seen_before_test: set = set()
 
-    # fixed per-pair Givens rotation used by drift_mode='rotate'
-    rot_angles = rng.uniform(0.5, 1.5, size=D // 2) * spec.drift
+    # fixed per-pair Givens rotation used by drift_mode='rotate' only —
+    # drawn conditionally so the default mode's RNG stream (and therefore
+    # every previously recorded same-seed dataset) is unchanged
+    rot_angles = (rng.uniform(0.5, 1.5, size=D // 2) * spec.drift
+                  if spec.drift_mode == "rotate" else None)
 
     def rotate(f):
         f = f.copy()

@@ -118,7 +118,9 @@ class ConvRootTower(NamedTuple):
     ``[x_t, x_hat]``, then the 4th-root interaction channel
     ``|x_t|^1/2 ⊙ |x_hat|^1/2`` (detached) concatenated AFTER the flatten,
     GELU applied to the concatenation (``one_transfer_com.forward``,
-    ``conv_transfer.py:150-162``)."""
+    ``conv_transfer.py:150-162``). The reference hardcodes a 1024-wide fc1
+    (``:146-149``); here the width is ``cfg.fc_hidden`` — the CLI sets 1024
+    for this kind to match."""
     conv1_w: jax.Array   # (C1, 2)
     conv1_b: jax.Array   # (C1,)
     fc1_w: jax.Array     # (C1*d + d, H)

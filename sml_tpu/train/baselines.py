@@ -143,7 +143,8 @@ class BaselineDriver:
         self.reservoir = Reservoir(cfg.pool_size, self.rng)
 
         from sml_tpu.config import resolve_fast_table_adam
-        fast = resolve_fast_table_adam(None, info.n_users + info.n_items)
+        fast = resolve_fast_table_adam(None, info.n_users + info.n_items,
+                                       cfg.batch_size)
         self.tx = torch_adam(cfg.lr, weight_decay=0.0)
         self._epoch = jax.jit(
             make_plain_mf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,

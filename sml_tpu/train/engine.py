@@ -47,7 +47,7 @@ class SMLEngine:
     def __init__(self, cfg: SMLConfig, n_users: int, n_items: int):
         from sml_tpu.config import resolve_fast_table_adam
         cfg = cfg.replace(fast_table_adam=resolve_fast_table_adam(
-            cfg.fast_table_adam, n_users + n_items))
+            cfg.fast_table_adam, n_users + n_items, cfg.mf_batch_size))
         self.cfg = cfg
         self.n_users = n_users
         self.n_items = n_items

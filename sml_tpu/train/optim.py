@@ -25,9 +25,16 @@ import jax.numpy as jnp
 import optax
 
 
+# single source of the Adam hyper-parameter defaults shared by torch_adam
+# and sparse_dense_adam_update (the two implementations of the same step)
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
 def torch_adam(lr: float, weight_decay: float = 0.0,
-               b1: float = 0.9, b2: float = 0.999,
-               eps: float = 1e-8) -> optax.GradientTransformation:
+               b1: float = ADAM_B1, b2: float = ADAM_B2,
+               eps: float = ADAM_EPS) -> optax.GradientTransformation:
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
@@ -56,13 +63,17 @@ def _collapse_duplicates(idx: jax.Array, rows: jax.Array) -> jax.Array:
     unspecified.
     """
     eq = (idx[:, None] == idx[None, :]).astype(rows.dtype)   # (K, K)
-    return jnp.dot(eq, rows, preferred_element_type=rows.dtype)
+    # HIGHEST precision: the default TPU matmul truncates f32 operands to
+    # bf16, which would corrupt the gradient rows and break the exactness
+    # contract of this path
+    return jnp.dot(eq, rows, preferred_element_type=rows.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def sparse_dense_adam_update(params, opt_state,
                              sparse: Dict[str, TableGrad], *,
-                             lr: float, b1: float = 0.9, b2: float = 0.999,
-                             eps: float = 1e-8):
+                             lr: float, b1: float = ADAM_B1,
+                             b2: float = ADAM_B2, eps: float = ADAM_EPS):
     """One ``torch_adam(weight_decay=0)`` step with EXACT dense semantics,
     restructured for row-sparse gradients.
 

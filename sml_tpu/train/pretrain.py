@@ -44,7 +44,8 @@ def pretrain_mf(cfg: PretrainConfig, spec: DataSpec, pretrain_period: int,
 
     from sml_tpu.config import resolve_fast_table_adam
     fast = resolve_fast_table_adam(None,
-                                   stream.info.n_users + stream.info.n_items)
+                                   stream.info.n_users + stream.info.n_items,
+                                   cfg.batch_size)
     tx = torch_adam(cfg.lr, weight_decay=0.0)
     epoch_fn = jax.jit(
         make_plain_mf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item, tx,

@@ -133,6 +133,10 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
             if cfg.fast_table_adam:
+                # NOTE: this branch reimplements mf_tx =
+                # torch_adam(cfg.mf_lr, weight_decay=0) with the shared
+                # ADAM_B1/B2/EPS defaults; if the engine's MF optimizer ever
+                # grows a schedule or decay, it must be threaded here too
                 loss, (gu, gi, gj) = jax.value_and_grad(
                     row_loss, argnums=(0, 1, 2))(
                     mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],

@@ -131,3 +131,19 @@ def test_prefetching_feeder_equivalence(synthetic_dataset):
             else:
                 np.testing.assert_array_equal(fa, fb)
     assert pre_feeder.n_users == info.n_users
+
+
+def test_prefetching_feeder_rejects_out_of_order(synthetic_dataset):
+    """Once a period is prefetched, requesting a different one must raise
+    (the inner feeder's test cursor has already advanced)."""
+    import pytest as _pytest
+
+    from sml_tpu.data.prefetch import PrefetchingFeeder
+
+    dspec, info, spec = synthetic_dataset
+    feeder = PrefetchingFeeder(
+        PeriodFeeder(dspec, mf_sample="alone", tr_sample_type="alone"))
+    feeder.next_train(0)                      # schedules prefetch of 1
+    with _pytest.raises(RuntimeError, match="sequentially"):
+        feeder.next_train(0)
+    feeder.close()
