@@ -88,3 +88,36 @@ def test_sharded_eval_matches(rng):
         np.testing.assert_allclose(got[k]["recall"], ref[k]["recall"],
                                    atol=1e-6)
         np.testing.assert_allclose(got[k]["ndcg"], ref[k]["ndcg"], atol=1e-5)
+
+
+def test_sharded_fast_adam_matches_single_device(rng):
+    """The row-sparse exact-dense Adam path (auto-on for production tables)
+    must partition correctly over the mesh: same result as unsharded."""
+    cfg = _cfg().replace(fast_table_adam=True)
+    set_t = _fake_period(rng)
+    set_tt = _fake_period(rng)
+
+    engine = SMLEngine(cfg, N_USERS, N_ITEMS)
+    assert engine.cfg.fast_table_adam is True
+    ref_state = _run_phase(engine, engine.init_state(), set_t, set_tt)
+
+    mesh = make_mesh(2, 4)
+    engine2 = SMLEngine(cfg, N_USERS, N_ITEMS)
+    st = shard_state(engine2.init_state(), mesh, N_USERS, N_ITEMS)
+    sh_state = _run_phase(engine2, st, set_t, set_tt)
+
+    np.testing.assert_allclose(np.asarray(sh_state.mf.user_emb),
+                               np.asarray(ref_state.mf.user_emb),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh_state.mf.item_emb),
+                               np.asarray(ref_state.mf.item_emb),
+                               rtol=2e-4, atol=2e-5)
+
+    # and the sharded fast path equals the sharded dense path
+    engine3 = SMLEngine(_cfg().replace(fast_table_adam=False),
+                        N_USERS, N_ITEMS)
+    st3 = shard_state(engine3.init_state(), mesh, N_USERS, N_ITEMS)
+    dense_state = _run_phase(engine3, st3, set_t, set_tt)
+    np.testing.assert_allclose(np.asarray(sh_state.mf.user_emb),
+                               np.asarray(dense_state.mf.user_emb),
+                               rtol=2e-4, atol=2e-5)
