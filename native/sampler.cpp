@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -137,6 +138,82 @@ int sml_sample_negatives(const int64_t *users, int64_t n,
     out[r] = pick;
   }
   return 0;
+}
+
+
+// ---------------------------------------------------------------------------
+// CSV log parsing (ingest fast path; replaces np.genfromtxt, which parses
+// the reference-style raw logs ~50x slower).
+// ---------------------------------------------------------------------------
+
+// Count data lines (non-empty after skipping skip_rows header lines).
+int64_t sml_count_csv_rows(const char *buf, int64_t len, int64_t skip_rows) {
+  int64_t rows = 0, line = 0;
+  int64_t start = 0;
+  for (int64_t p = 0; p <= len; ++p) {
+    if (p == len || buf[p] == '\n') {
+      int64_t end = p;
+      if (end > start && buf[end - 1] == '\r') --end;
+      if (end > start && line >= skip_rows) ++rows;
+      ++line;
+      start = p + 1;
+    }
+  }
+  return rows;
+}
+
+// Parse three columns (user, item, timestamp) out of a delimited log.
+// Returns the number of rows written, or -(1 + line_index) on a malformed
+// line (missing column / unparsable number).
+int64_t sml_parse_csv_log(const char *buf, int64_t len, int32_t user_col,
+                          int32_t item_col, int32_t time_col, char delim,
+                          int64_t skip_rows, int64_t *users, int64_t *items,
+                          double *times) {
+  const int32_t max_col =
+      user_col > item_col ? (user_col > time_col ? user_col : time_col)
+                          : (item_col > time_col ? item_col : time_col);
+  int64_t rows = 0, line = 0;
+  int64_t start = 0;
+  for (int64_t p = 0; p <= len; ++p) {
+    if (p != len && buf[p] != '\n') continue;
+    int64_t end = p;
+    if (end > start && buf[end - 1] == '\r') --end;
+    if (end > start && line >= skip_rows) {
+      double vals[3];
+      bool got[3] = {false, false, false};
+      int32_t col = 0;
+      int64_t f = start;
+      while (f < end && col <= max_col) {
+        int64_t fe = f;
+        while (fe < end && buf[fe] != delim) ++fe;
+        const bool want_u = (col == user_col), want_i = (col == item_col),
+                   want_t = (col == time_col);
+        if (want_u || want_i || want_t) {
+          char tmp[64];
+          int64_t n = fe - f;
+          if (n <= 0 || n >= 63) return -(1 + line);
+          std::memcpy(tmp, buf + f, n);
+          tmp[n] = 0;
+          char *endp = nullptr;
+          const double v = std::strtod(tmp, &endp);
+          if (endp == tmp) return -(1 + line);
+          if (want_u) { vals[0] = v; got[0] = true; }
+          if (want_i) { vals[1] = v; got[1] = true; }
+          if (want_t) { vals[2] = v; got[2] = true; }
+        }
+        ++col;
+        f = fe + 1;
+      }
+      if (!(got[0] && got[1] && got[2])) return -(1 + line);
+      users[rows] = static_cast<int64_t>(vals[0]);
+      items[rows] = static_cast<int64_t>(vals[1]);
+      times[rows] = vals[2];
+      ++rows;
+    }
+    ++line;
+    start = p + 1;
+  }
+  return rows;
 }
 
 }  // extern "C"

@@ -45,7 +45,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else None
+        fresh = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC)
+                 and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
+        path = _LIB_PATH if fresh else None
         if path is None and os.path.exists(_SRC):
             path = _build()
         if path is None:
@@ -60,6 +62,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sml_sample_negatives.argtypes = [
             p64, ctypes.c_int64, p64, p64, ctypes.c_int64,
             p64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, p64]
+        pd = ctypes.POINTER(ctypes.c_double)
+        lib.sml_count_csv_rows.restype = ctypes.c_int64
+        lib.sml_count_csv_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.sml_parse_csv_log.restype = ctypes.c_int64
+        lib.sml_parse_csv_log.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_char, ctypes.c_int64, p64, p64, pd]
         _lib = lib
         return _lib
 
@@ -116,3 +126,31 @@ def sample_negatives_native(users: np.ndarray, history: np.ndarray,
                              hist.shape[0], _c64(p), p.shape[0],
                              tries, seed, _c64(out))
     return out
+
+
+def parse_csv_log_native(path: str, user_col: int = 0, item_col: int = 1,
+                         time_col: int = 2, delimiter: str = ",",
+                         skip_header: int = 1):
+    """Parse a (user, item, timestamp) delimited log natively.
+
+    Returns ``(users int64, items int64, times float64)`` or None if the
+    native library is unavailable. Raises ValueError on a malformed line
+    (missing column / unparsable number), matching the strictness the
+    numpy fallback lacks (genfromtxt silently yields NaN rows).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    n = lib.sml_count_csv_rows(buf, len(buf), skip_header)
+    users = np.empty(n, dtype=np.int64)
+    items = np.empty(n, dtype=np.int64)
+    times = np.empty(n, dtype=np.float64)
+    rc = lib.sml_parse_csv_log(
+        buf, len(buf), user_col, item_col, time_col,
+        delimiter.encode()[:1], skip_header, _c64(users), _c64(items),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc < 0:
+        raise ValueError(f"malformed log line {-(rc + 1)} in {path}")
+    return users[:rc], items[:rc], times[:rc]

@@ -78,3 +78,40 @@ def test_attach_negatives_uses_native_and_matches_contract(rng):
         u = int(r[0])
         for j in map(int, r[2:]):
             assert (u, j) not in hist_set
+
+
+def test_parse_csv_log_native_matches_numpy(tmp_path):
+    from sml_tpu.data.native import parse_csv_log_native
+
+    rng = np.random.default_rng(3)
+    n = 500
+    path = str(tmp_path / "log.csv")
+    with open(path, "w") as fh:
+        fh.write("user,item,ts\n")
+        for k in range(n):
+            fh.write(f"{rng.integers(0, 900)},{rng.integers(0, 400)},"
+                     f"{1000.5 + k}\n")
+
+    parsed = parse_csv_log_native(path)
+    if parsed is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    users, items, times = parsed
+    raw = np.genfromtxt(path, delimiter=",", skip_header=1)
+    np.testing.assert_array_equal(users, raw[:, 0].astype(np.int64))
+    np.testing.assert_array_equal(items, raw[:, 1].astype(np.int64))
+    np.testing.assert_allclose(times, raw[:, 2])
+
+
+def test_parse_csv_log_native_malformed_line_number(tmp_path):
+    import pytest
+
+    from sml_tpu.data.native import get_lib, parse_csv_log_native
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    path = str(tmp_path / "bad.csv")
+    with open(path, "w") as fh:
+        fh.write("user,item,ts\n1,2,3\n4,notanumber,6\n")
+    with pytest.raises(ValueError, match="line 2"):
+        parse_csv_log_native(path)
