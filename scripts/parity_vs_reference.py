@@ -40,6 +40,17 @@ BASE_EPOCHS = 3     # baseline epochs per period (reference default is 20)
 BASE_POOL = 600     # SPMF reservoir size
 
 
+def set_protocol(**kw):
+    """Override the matched protocol constants (used by the yelp-scale
+    sweep, which reruns the reference driver at full size)."""
+    valid = {"N_PERIODS", "TRAIN_START", "TEST_START", "NEG", "MULTI",
+             "LATENT", "BASE_EPOCHS", "BASE_POOL"}
+    for name, v in kw.items():
+        key = name.upper()
+        assert key in valid, name
+        globals()[key] = v
+
+
 def build_dataset(root):
     from sml_tpu.data.synthetic import SyntheticSpec, generate_synthetic_dataset
     spec = SyntheticSpec(n_users=300, n_items=150, n_periods=N_PERIODS,

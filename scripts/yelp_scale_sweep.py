@@ -1,0 +1,177 @@
+"""Full Yelp-scale SML sweep: our TPU driver vs the reference driver on CPU.
+
+Measures the BASELINE.md wall-clock target (>=5x speedup on the full
+sequential sweep) at the reference's protocol shape: 40 periods, online
+training from period 10, online testing 30-39, 999 eval negatives, d=64,
+multi_num=10, MF/TR 1 epoch — on a synthetic dataset of Yelp-like size
+(defaults: 31k users / 21k items / 30k interactions per period ~= 1.2M).
+
+Phased so the two drivers can run concurrently in separate processes
+(reference on CPU, ours on the TPU):
+
+    python scripts/yelp_scale_sweep.py --phase gen --root /tmp/yelp_scale
+    python scripts/yelp_scale_sweep.py --phase pretrain --root /tmp/yelp_scale
+    python scripts/yelp_scale_sweep.py --phase ours --root /tmp/yelp_scale
+    python scripts/yelp_scale_sweep.py --phase reference --platform cpu \
+        --root /tmp/yelp_scale
+
+Each phase appends its result to <root>/results.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PERIODS = 40
+TRAIN_START = 10
+TEST_START = 30
+NEG = 999
+MULTI = 10
+LATENT = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def record(root, key, value):
+    path = os.path.join(root, "results.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    data[key] = value
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=2)
+    log(f"recorded {key}")
+
+
+def dspec_for(root):
+    from sml_tpu.config import DataSpec
+    return DataSpec(root=root, name="synth", num_periods=N_PERIODS,
+                    online_train_start=TRAIN_START,
+                    online_test_start=TEST_START, eval_neg_num=NEG)
+
+
+def load_pre(root):
+    from sml_tpu.models.mf import MFParams
+    import jax.numpy as jnp
+    blob = np.load(os.path.join(root, "pre.npz"))
+    return MFParams(user_emb=jnp.asarray(blob["user_emb"]),
+                    item_emb=jnp.asarray(blob["item_emb"]),
+                    user_bias=jnp.asarray(blob["user_bias"]),
+                    item_bias=jnp.asarray(blob["item_bias"]))
+
+
+def phase_gen(args):
+    from sml_tpu.data.synthetic import SyntheticSpec, generate_synthetic_dataset
+    t0 = time.time()
+    spec = SyntheticSpec(n_users=args.users, n_items=args.items,
+                         n_periods=N_PERIODS,
+                         interactions_per_period=args.inter,
+                         first_test_period=TRAIN_START, neg_num=NEG,
+                         latent_dim=8, drift=0.05, seed=17)
+    info = generate_synthetic_dataset(os.path.join(args.root, "synth"), spec)
+    record(args.root, "dataset",
+           {"n_users": info.n_users, "n_items": info.n_items,
+            "n_interactions": info.n_interactions,
+            "gen_seconds": round(time.time() - t0, 1)})
+
+
+def phase_pretrain(args):
+    from sml_tpu.config import PretrainConfig
+    from sml_tpu.train.pretrain import pretrain_mf
+    t0 = time.time()
+    pcfg = PretrainConfig(max_epochs=60, eval_every=2, patience=8,
+                          batch_size=1024, latent_dim=LATENT,
+                          emb_init_scale=0.1)
+    params, metrics = pretrain_mf(pcfg, dspec_for(args.root),
+                                  pretrain_period=TEST_START - 1)
+    np.savez(os.path.join(args.root, "pre.npz"),
+             user_emb=np.asarray(params.user_emb),
+             item_emb=np.asarray(params.item_emb),
+             user_bias=np.asarray(params.user_bias),
+             item_bias=np.asarray(params.item_bias))
+    record(args.root, "pretrain",
+           {**{k: round(v, 4) for k, v in metrics.items()},
+            "seconds": round(time.time() - t0, 1)})
+
+
+def phase_ours(args):
+    import jax
+    from sml_tpu.config import SMLConfig, TransferConfig
+    from sml_tpu.train.driver import SMLDriver
+    from sml_tpu.train.engine import SMLEngine
+
+    cfg = SMLConfig(multi_num=MULTI, mf_epochs=1, tr_epochs=1,
+                    latent_dim=LATENT,
+                    transfer=TransferConfig(latent_dim=LATENT),
+                    mf_batch_size=1024, tr_batch_size=256,
+                    eval_batch_size=1024, mf_sample="all",
+                    tr_sample_type="alone")
+    dspec = dspec_for(args.root)
+    driver = SMLDriver(cfg, dspec)
+    params = load_pre(args.root)
+    state = driver.engine.init_state(pretrained_mf=params)
+    t0 = time.time()
+    report = driver.run(state)
+    total = time.time() - t0
+    record(args.root, "ours", {
+        "backend": jax.default_backend(),
+        "total_seconds": round(total, 1),
+        "period_seconds": [round(s, 2) for s in report.period_seconds],
+        "summary": {k: round(v, 5) for k, v in report.summary().items()},
+        "per_period_recall@20":
+            [round(v, 4) for v in report.per_period.get(20, [])],
+    })
+
+
+def phase_reference(args):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "pvr", os.path.join(REPO, "scripts", "parity_vs_reference.py"))
+    pvr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pvr)
+    pvr.set_protocol(n_periods=N_PERIODS, train_start=TRAIN_START,
+                     test_start=TEST_START, neg=NEG, multi=MULTI,
+                     latent=LATENT)
+    params = load_pre(args.root)
+    t0 = time.time()
+    ref = pvr.run_reference(args.root, params)
+    total = time.time() - t0
+    record(args.root, "reference", {
+        "total_seconds": round(total, 1),
+        "recall@20": [round(v, 4) for v in ref["recall@20"]],
+        "recall@5": [round(v, 4) for v in ref["recall@5"]],
+        "ndcg@20": [round(v, 4) for v in ref["ndcg@20"]],
+        "test_num": ref["test_num"],
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", required=True,
+                    choices=["gen", "pretrain", "ours", "reference"])
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--users", type=int, default=31_000)
+    ap.add_argument("--items", type=int, default=21_000)
+    ap.add_argument("--inter", type=int, default=30_000)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    os.makedirs(args.root, exist_ok=True)
+    {"gen": phase_gen, "pretrain": phase_pretrain,
+     "ours": phase_ours, "reference": phase_reference}[args.phase](args)
+
+
+if __name__ == "__main__":
+    main()
