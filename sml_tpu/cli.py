@@ -240,9 +240,11 @@ def cmd_rank(args) -> int:
         from sml_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(1, len(jax.devices()))
 
+    dtype = jnp.bfloat16 if args.bf16 else None
     for start in range(0, users.shape[0], args.batch_size):
         chunk = jnp.asarray(users[start:start + args.batch_size])
-        scores, items = recommend(mf, chunk, args.k, mesh=mesh)
+        scores, items = recommend(mf, chunk, args.k, mesh=mesh,
+                                  compute_dtype=dtype)
         scores = np.asarray(scores)
         items = np.asarray(items)
         for r in range(chunk.shape[0]):
@@ -361,6 +363,9 @@ def main(argv=None) -> int:
     pr.add_argument("--batch-size", type=int, default=1024)
     pr.add_argument("--shard", action="store_true",
                     help="row-shard the item table over all devices")
+    pr.add_argument("--bf16", action="store_true",
+                    help="score in bfloat16 (MXU native rate, ~2x; "
+                         "near-tie ranks may swap)")
     pr.set_defaults(fn=cmd_rank)
 
     args = p.parse_args(argv)

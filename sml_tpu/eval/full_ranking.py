@@ -31,13 +31,20 @@ from sml_tpu.models.mf import MFParams
 
 
 def dense_full_topk(user_emb_rows: jax.Array, item_table: jax.Array,
-                    k: int, mask_scores: Optional[jax.Array] = None
-                    ) -> Tuple[jax.Array, jax.Array]:
+                    k: int, mask_scores: Optional[jax.Array] = None,
+                    compute_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Reference path: one (B, d) x (d, I) matmul + top_k.
 
     ``mask_scores``: optional (B, I) additive mask (-inf to exclude).
+    ``compute_dtype``: cast the matmul INPUTS (e.g. ``jnp.bfloat16`` for the
+    MXU's native rate — ~2x serving throughput); scores still accumulate
+    and rank in f32. Candidates whose f32 scores differ by less than the
+    bf16 rounding of the embeddings (~2^-8 relative) may swap ranks.
     Returns (scores (B, k), item_ids (B, k)).
     """
+    if compute_dtype is not None:
+        user_emb_rows = user_emb_rows.astype(compute_dtype)
+        item_table = item_table.astype(compute_dtype)
     scores = jnp.einsum("bd,id->bi", user_emb_rows, item_table,
                         preferred_element_type=jnp.float32)
     if mask_scores is not None:
@@ -45,7 +52,7 @@ def dense_full_topk(user_emb_rows: jax.Array, item_table: jax.Array,
     return jax.lax.top_k(scores, k)
 
 
-def make_sharded_full_topk(mesh: Mesh, k: int):
+def make_sharded_full_topk(mesh: Mesh, k: int, compute_dtype=None):
     """Build ``topk(user_rows, item_table) -> (scores, ids)`` with the item
     table sharded ``P('model')``; exact local-topk + all-gather merge."""
 
@@ -54,6 +61,9 @@ def make_sharded_full_topk(mesh: Mesh, k: int):
     def inner(user_rows, item_shard):
         rows_per = item_shard.shape[0]
         shard = jax.lax.axis_index("model")
+        if compute_dtype is not None:
+            user_rows = user_rows.astype(compute_dtype)
+            item_shard = item_shard.astype(compute_dtype)
         local_scores = jnp.einsum("bd,id->bi", user_rows, item_shard,
                                   preferred_element_type=jnp.float32)
         ls, li = jax.lax.top_k(local_scores, k)          # (B, k) local
@@ -73,9 +83,10 @@ def make_sharded_full_topk(mesh: Mesh, k: int):
 
 
 def recommend(mf: MFParams, users: jax.Array, k: int,
-              mesh: Optional[Mesh] = None):
+              mesh: Optional[Mesh] = None, compute_dtype=None):
     """Top-K catalog recommendation for a user batch (serving entry)."""
     rows = mf.user_emb[users]
     if mesh is not None and "model" in mesh.axis_names:
-        return make_sharded_full_topk(mesh, k)(rows, mf.item_emb)
-    return dense_full_topk(rows, mf.item_emb, k)
+        return make_sharded_full_topk(mesh, k, compute_dtype)(
+            rows, mf.item_emb)
+    return dense_full_topk(rows, mf.item_emb, k, compute_dtype=compute_dtype)

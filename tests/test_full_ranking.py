@@ -53,3 +53,20 @@ def test_recommend_with_mesh(rng):
     s2, ids2 = recommend(
         mf._replace(item_emb=jnp.asarray(np.asarray(mf.item_emb))), users, 4)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_bf16_serving_matches_on_separated_scores(rng):
+    """bf16-input scoring returns the same top-K as f32 when score gaps
+    exceed bf16 rounding."""
+    import jax.numpy as jnp
+
+    from sml_tpu.eval.full_ranking import dense_full_topk
+
+    d, n_items, b = 16, 64, 8
+    # well-separated: item i's embedding is i * e1, users along e1
+    items = jnp.asarray(
+        np.outer(np.arange(n_items, dtype=np.float32), np.eye(d)[0]))
+    users = jnp.asarray(np.outer(np.ones(b, np.float32), np.eye(d)[0]))
+    _, ids32 = dense_full_topk(users, items, 5)
+    _, ids16 = dense_full_topk(users, items, 5, compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(ids32), np.asarray(ids16))
