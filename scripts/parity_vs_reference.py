@@ -51,12 +51,12 @@ def set_protocol(**kw):
         globals()[key] = v
 
 
-def build_dataset(root):
+def build_dataset(root, seed=11):
     from sml_tpu.data.synthetic import SyntheticSpec, generate_synthetic_dataset
     spec = SyntheticSpec(n_users=300, n_items=150, n_periods=N_PERIODS,
                          interactions_per_period=900,
                          first_test_period=TRAIN_START, neg_num=NEG,
-                         latent_dim=4, drift=0.03, seed=11)
+                         latent_dim=4, drift=0.03, seed=seed)
     info = generate_synthetic_dataset(os.path.join(root, "synth"), spec)
     return info
 
@@ -207,7 +207,7 @@ def run_ours_baseline(dspec, params, method):
     }
 
 
-def run_reference(root, params):
+def run_reference(root, params, ref_seed=2000):
     """Execute the reference driver on CPU against the shared dataset."""
     import torch
 
@@ -248,7 +248,7 @@ def run_reference(root, params):
         need_adaptive=False, maxnorm_grad=3.0,
         TR_lr=0.001, TR_l2=1e-4, TR_epochs=1, TR_batch_size=256,
         TR_sample_type="alone", TR_with_MF_bias=False, TR_stop_=False,
-        transfer_type="conv_com", seed=2000, numworkers=0, topK=20,
+        transfer_type="conv_com", seed=ref_seed, numworkers=0, topK=20,
         pass_num=1, norm=False, Lambda_lr=0.01, min_l2=1e-4,
         set_t_as_tt=False, tqdm=False, need_writer=False,
         test_in_TR_Train=False)
@@ -323,6 +323,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--modes", default="sml,fine,full,spmf",
                     help="comma list of drivers to compare")
     args = ap.parse_args()
@@ -332,7 +333,7 @@ def main():
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     root = tempfile.mkdtemp(prefix="parity_")
-    info = build_dataset(root)
+    info = build_dataset(root, seed=args.seed)
     print(f"dataset: {info}", file=sys.stderr, flush=True)
     dspec, params, pre_metrics = pretrain(root, info)
     print(f"pretrain: { {k: round(v, 4) for k, v in pre_metrics.items()} }",
