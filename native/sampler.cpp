@@ -154,7 +154,7 @@ int64_t sml_count_csv_rows(const char *buf, int64_t len, int64_t skip_rows) {
     if (p == len || buf[p] == '\n') {
       int64_t end = p;
       if (end > start && buf[end - 1] == '\r') --end;
-      if (end > start && line >= skip_rows) ++rows;
+      if (end > start && line >= skip_rows && buf[start] != '#') ++rows;
       ++line;
       start = p + 1;
     }
@@ -178,7 +178,7 @@ int64_t sml_parse_csv_log(const char *buf, int64_t len, int32_t user_col,
     if (p != len && buf[p] != '\n') continue;
     int64_t end = p;
     if (end > start && buf[end - 1] == '\r') --end;
-    if (end > start && line >= skip_rows) {
+    if (end > start && line >= skip_rows && buf[start] != '#') {
       double vals[3];
       bool got[3] = {false, false, false};
       int32_t col = 0;
@@ -197,6 +197,8 @@ int64_t sml_parse_csv_log(const char *buf, int64_t len, int32_t user_col,
           char *endp = nullptr;
           const double v = std::strtod(tmp, &endp);
           if (endp == tmp) return -(1 + line);
+          while (*endp == ' ' || *endp == '\t') ++endp;
+          if (*endp != 0) return -(1 + line);
           if (want_u) { vals[0] = v; got[0] = true; }
           if (want_i) { vals[1] = v; got[1] = true; }
           if (want_t) { vals[2] = v; got[2] = true; }

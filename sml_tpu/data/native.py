@@ -45,11 +45,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        fresh = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC)
+        have_lib = os.path.exists(_LIB_PATH)
+        fresh = (have_lib and os.path.exists(_SRC)
                  and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
         path = _LIB_PATH if fresh else None
         if path is None and os.path.exists(_SRC):
             path = _build()
+        if path is None and have_lib:
+            # stale (or source-less) prebuilt library beats the numpy
+            # fallback when a rebuild isn't possible
+            print("sml_tpu: using prebuilt native library (rebuild "
+                  "unavailable)", file=sys.stderr)
+            path = _LIB_PATH
         if path is None:
             return None
         lib = ctypes.CDLL(path)
@@ -134,10 +141,15 @@ def parse_csv_log_native(path: str, user_col: int = 0, item_col: int = 1,
     """Parse a (user, item, timestamp) delimited log natively.
 
     Returns ``(users int64, items int64, times float64)`` or None if the
-    native library is unavailable. Raises ValueError on a malformed line
-    (missing column / unparsable number), matching the strictness the
-    numpy fallback lacks (genfromtxt silently yields NaN rows).
+    native path does not apply (library unavailable, or a multi-character
+    delimiter — the C parser splits on one byte; callers fall back to
+    numpy). ``#``-prefixed lines are skipped like genfromtxt's default.
+    Raises ValueError on a malformed line (missing column / unparsable or
+    garbage-suffixed number), a strictness the numpy fallback lacks
+    (genfromtxt silently yields NaN rows).
     """
+    if len(delimiter) != 1:
+        return None
     lib = get_lib()
     if lib is None:
         return None
@@ -152,5 +164,6 @@ def parse_csv_log_native(path: str, user_col: int = 0, item_col: int = 1,
         delimiter.encode()[:1], skip_header, _c64(users), _c64(items),
         times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     if rc < 0:
-        raise ValueError(f"malformed log line {-(rc + 1)} in {path}")
+        raise ValueError(
+            f"malformed log line {-(rc + 1) + 1} (1-based) in {path}")
     return users[:rc], items[:rc], times[:rc]

@@ -52,9 +52,17 @@ def dense_full_topk(user_emb_rows: jax.Array, item_table: jax.Array,
     return jax.lax.top_k(scores, k)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def make_sharded_full_topk(mesh: Mesh, k: int, compute_dtype=None):
     """Build ``topk(user_rows, item_table) -> (scores, ids)`` with the item
-    table sharded ``P('model')``; exact local-topk + all-gather merge."""
+    table sharded ``P('model')``; exact local-topk + all-gather merge.
+
+    Cached per (mesh, k, dtype) so repeated ``recommend`` calls (the rank
+    CLI's batch loop) reuse one compiled program instead of re-jitting.
+    """
 
     n_shards = mesh.shape["model"]
 

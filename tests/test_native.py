@@ -113,5 +113,44 @@ def test_parse_csv_log_native_malformed_line_number(tmp_path):
     path = str(tmp_path / "bad.csv")
     with open(path, "w") as fh:
         fh.write("user,item,ts\n1,2,3\n4,notanumber,6\n")
-    with pytest.raises(ValueError, match="line 2"):
+    with pytest.raises(ValueError, match="line 3"):
         parse_csv_log_native(path)
+
+
+def test_parse_csv_log_native_multichar_delimiter_falls_back(tmp_path):
+    """Multi-char delimiters aren't supported natively; the function must
+    return None so ingest falls back to numpy (which handles them)."""
+    from sml_tpu.data.ingest import IngestSpec, ingest_csv
+    from sml_tpu.data.native import parse_csv_log_native
+
+    path = str(tmp_path / "ml.dat")
+    with open(path, "w") as fh:
+        for k in range(60):
+            fh.write(f"{k % 9}::{k % 23}::{1000 + k}\n")
+    assert parse_csv_log_native(path, delimiter="::", skip_header=0) is None
+
+    info = ingest_csv(path, str(tmp_path / "out"), 
+                      IngestSpec(n_periods=3, first_test_period=1,
+                                 neg_num=3),
+                      delimiter="::", skip_header=0)
+    assert info.n_interactions == 60
+
+
+def test_parse_csv_log_native_skips_comments_rejects_garbage(tmp_path):
+    import pytest
+
+    from sml_tpu.data.native import get_lib, parse_csv_log_native
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    path = str(tmp_path / "c.csv")
+    with open(path, "w") as fh:
+        fh.write("# a comment line\n1,2,3\n# another\n4,5,6\n")
+    users, items, times = parse_csv_log_native(path, skip_header=0)
+    assert users.tolist() == [1, 4] and items.tolist() == [2, 5]
+
+    bad = str(tmp_path / "g.csv")
+    with open(bad, "w") as fh:
+        fh.write("1,2,3\n4,5junk,6\n")
+    with pytest.raises(ValueError, match="line 2"):
+        parse_csv_log_native(bad, skip_header=0)
