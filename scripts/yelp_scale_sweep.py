@@ -117,23 +117,28 @@ def phase_ours(args):
     import jax
     from sml_tpu.config import SMLConfig, TransferConfig
     from sml_tpu.train.driver import SMLDriver
-    from sml_tpu.train.engine import SMLEngine
+    from sml_tpu.utils.logging import MetricsLogger
 
     cfg = SMLConfig(multi_num=MULTI, mf_epochs=1, tr_epochs=1,
                     latent_dim=LATENT,
                     transfer=TransferConfig(latent_dim=LATENT),
                     mf_batch_size=1024, tr_batch_size=256,
                     eval_batch_size=1024, mf_sample="all",
-                    tr_sample_type="alone")
+                    tr_sample_type="alone", seed=args.seed,
+                    eval_during_inner=args.evals, eval_during_outer=args.evals,
+                    log_norms=bool(args.log))
     dspec = dspec_for(args.root)
-    driver = SMLDriver(cfg, dspec)
+    logger = MetricsLogger(args.log) if args.log else None
+    driver = SMLDriver(cfg, dspec, logger=logger)
     params = load_pre(args.root)
     state = driver.engine.init_state(pretrained_mf=params)
     t0 = time.time()
     report = driver.run(state)
     total = time.time() - t0
-    record(args.root, "ours", {
+    record(args.root, args.key or "ours", {
         "backend": jax.default_backend(),
+        "seed": args.seed,
+        "evals_during_train": args.evals,
         "total_seconds": round(total, 1),
         "period_seconds": [round(s, 2) for s in report.period_seconds],
         "summary": {k: round(v, 5) for k, v in report.summary().items()},
@@ -153,9 +158,10 @@ def phase_reference(args):
                      latent=LATENT)
     params = load_pre(args.root)
     t0 = time.time()
-    ref = pvr.run_reference(args.root, params)
+    ref = pvr.run_reference(args.root, params, ref_seed=args.seed)
     total = time.time() - t0
-    record(args.root, "reference", {
+    record(args.root, args.key or "reference", {
+        "seed": args.seed,
         "total_seconds": round(total, 1),
         "recall@20": [round(v, 4) for v in ref["recall@20"]],
         "recall@5": [round(v, 4) for v in ref["recall@5"]],
@@ -173,6 +179,14 @@ def main():
     ap.add_argument("--items", type=int, default=21_000)
     ap.add_argument("--inter", type=int, default=30_000)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--seed", type=int, default=2000)
+    ap.add_argument("--key", default=None,
+                    help="results.json key (default: the phase name)")
+    ap.add_argument("--evals", action="store_true",
+                    help="ours: run the reference's always-on in-training "
+                         "evals (wall-clock-faithful mode)")
+    ap.add_argument("--log", default=None,
+                    help="ours: jsonl diagnostics path (enables log_norms)")
     args = ap.parse_args()
     if args.platform:
         import jax

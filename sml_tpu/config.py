@@ -168,6 +168,12 @@ class SMLConfig:
     profile_dir: Optional[str] = None
     profile_period: int = 0
 
+    # Per-phase diagnostics to the jsonl logger: inner/outer mean losses plus
+    # table / snapshot / Θ norms — the weight-scale scalars of the reference's
+    # --need_writer path (transfer.py:780-785, 447-453) in structured form.
+    # Costs one host sync per phase; off by default.
+    log_norms: bool = False
+
     seed: int = 2000
 
     # numerics

@@ -68,6 +68,8 @@ class SMLDriver:
             cfg, self.feeder.n_users, self.feeder.n_items)
         self.logger = logger or MetricsLogger(None)
         self.report = RunReport(topks=tuple(cfg.topk))
+        self._last_inner_loss = float("nan")
+        self._last_outer_loss = float("nan")
 
     # ------------------------------------------------------------------ phases
     def _inner_block(self, state: SMLState, set_t: np.ndarray,
@@ -76,6 +78,9 @@ class SMLDriver:
         padded, index = self.engine.prep_inner(set_t)
         for e in range(epochs):
             state, losses = self.engine.inner_epoch(state, padded, index)
+            if self.cfg.log_norms:
+                self._last_inner_loss = _mean_loss(
+                    losses, padded.n_real, self.cfg.mf_batch_size)
             if self.cfg.eval_during_inner and val is not None:
                 m = self.engine.evaluate(state.mf, val)
                 self.logger.log(kind="inner_eval", epoch=e, **_flatten(m))
@@ -89,6 +94,9 @@ class SMLDriver:
         padded, index = self.engine.prep_outer(set_tt)
         for e in range(self.cfg.tr_epochs):
             state, losses = self.engine.outer_epoch(state, padded, index)
+            if self.cfg.log_norms:
+                self._last_outer_loss = _mean_loss(
+                    losses, padded.n_real, self.cfg.tr_batch_size)
             if self.cfg.refresh_after_outer_epoch:
                 state = self.engine.refresh(state)
                 if self.cfg.eval_during_outer and val is not None:
@@ -97,6 +105,16 @@ class SMLDriver:
         if self.cfg.load_w_hat:
             state = self.engine.load_hat_into_mf(state)
         return state
+
+    def _log_phase(self, state: SMLState, d_time: int, phase: int) -> None:
+        """Per-phase warm-up diagnostics (reference ``need_writer`` scalars,
+        ``transfer.py:780-785``): losses + weight-scale norms to jsonl."""
+        if not self.cfg.log_norms:
+            return
+        self.logger.log(kind="phase", d_time=d_time, phase=phase,
+                        inner_loss=self._last_inner_loss,
+                        outer_loss=self._last_outer_loss,
+                        **self.engine.diagnostics(state))
 
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:
@@ -132,6 +150,7 @@ class SMLDriver:
                 state = self.engine.snapshot_hat(state)
                 state = self.engine.refresh(state)
                 state = self._outer_block(state, sd.set_tt, sd.val)
+                self._log_phase(state, d_time, _phase)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)
@@ -151,6 +170,7 @@ class SMLDriver:
                 if phase == 0:
                     self._record_test(state, sd.now_test, d_time)
                 state = self._outer_block(state, sd.set_tt, sd.val)
+                self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 
         dt = time.time() - t0
@@ -183,6 +203,15 @@ class SMLDriver:
         self.final_state = state
         self.logger.log(kind="summary", **self.report.summary())
         return self.report
+
+
+def _mean_loss(losses, n_real: int, batch_size: int) -> float:
+    """Mean per-example loss over the REAL batches of a scanned epoch
+    (skipped tail batches report 0 and are excluded). Matches the
+    reference's printed ``loss_all/(batch_id+1)/batch_size`` normalization
+    (``transfer.py:513-514``) up to its batch-mean-vs-sum convention."""
+    nb = max(-(-n_real // batch_size), 1)
+    return float(np.asarray(losses)[:nb].mean())
 
 
 def _flatten(metrics: Dict[int, Dict[str, float]]) -> Dict[str, float]:

@@ -13,6 +13,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from sml_tpu.config import SMLConfig
 from sml_tpu.eval.evaluator import make_eval_fn
@@ -41,6 +42,17 @@ class SMLState(NamedTuple):
     mf_opt: object
     tr_opt: object
     key: jax.Array
+
+
+@jax.jit
+def _diagnostics_jit(user, item, hat_u, hat_i, last_u, last_i, theta):
+    def mean_rownorm(t):
+        return jnp.mean(jnp.sum(t * t, axis=-1))
+
+    theta_norm = optax.global_norm(theta)
+    return (mean_rownorm(user), mean_rownorm(item), mean_rownorm(hat_u),
+            mean_rownorm(hat_i), mean_rownorm(last_u), mean_rownorm(last_i),
+            theta_norm)
 
 
 class SMLEngine:
@@ -150,6 +162,18 @@ class SMLEngine:
             state.hat_user, state.hat_item, padded.rows, padded.mask,
             jnp.int32(padded.n_real), k, index)
         return state._replace(theta=theta, tr_opt=opt), losses
+
+    def diagnostics(self, state: SMLState) -> Dict[str, float]:
+        """Weight-scale scalars (reference ``need_writer``,
+        ``transfer.py:780-785``): mean per-row squared norm of the MF tables
+        and snapshots, plus the global L2 norm of Θ."""
+        vals = _diagnostics_jit(state.mf.user_emb, state.mf.item_emb,
+                                state.hat_user, state.hat_item,
+                                state.last_user, state.last_item,
+                                state.theta)
+        names = ("user_norm", "item_norm", "hat_user_norm", "hat_item_norm",
+                 "last_user_norm", "last_item_norm", "theta_norm")
+        return {n: float(v) for n, v in zip(names, vals)}
 
     def evaluate(self, mf: MFParams, test_rows: np.ndarray) -> Dict[int, Dict[str, float]]:
         """recall@K / NDCG@K over eval-format rows; all Ks in one pass."""
