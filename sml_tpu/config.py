@@ -155,7 +155,7 @@ class SMLConfig:
     eval_batch_size: int = 1024
 
     # on-device rejection sampling: candidate draws per row ('alone' mode)
-    neg_tries: int = 8
+    neg_tries: int = 16
 
     # multi-pass offline Θ training (reference --pass_num + the stage>=19
     # early break for non-final passes, transfer.py:976-988). pass_num=1 is
@@ -205,7 +205,7 @@ class PretrainConfig:
     patience: int = 50              # eval rounds without a new best (baseline.py:216)
     seed: int = 2000
     latent_dim: int = 64
-    neg_tries: int = 8
+    neg_tries: int = 16
     emb_init_scale: float = 1.0
 
 
@@ -228,7 +228,7 @@ class BaselineConfig:
     eval_batch_size: int = 1024
     latent_dim: int = 64
     seed: int = 2000
-    neg_tries: int = 8
+    neg_tries: int = 16
     emb_init_scale: float = 1.0
 
 

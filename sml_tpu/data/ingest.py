@@ -37,13 +37,19 @@ class IngestSpec:
 
 
 def densify_ids(values: np.ndarray) -> tuple:
-    """Map raw ids to dense 0..K-1 in first-appearance order."""
-    uniq, first_pos = np.unique(values, return_index=True)
-    order = uniq[np.argsort(first_pos)]
-    lookup = {int(v): k for k, v in enumerate(order)}
-    dense = np.fromiter((lookup[int(v)] for v in values), dtype=np.int64,
-                        count=values.shape[0])
-    return dense, order
+    """Map raw ids to dense 0..K-1 in first-appearance order.
+
+    Fully vectorized (no per-value Python): ``np.unique`` gives each value's
+    slot in sorted-unique space plus the first-occurrence position; ranking
+    those positions converts sorted order to first-appearance order.
+    """
+    uniq, first_pos, inverse = np.unique(values, return_index=True,
+                                         return_inverse=True)
+    rank = np.argsort(first_pos, kind="stable")
+    order = uniq[rank]
+    new_id = np.empty(uniq.shape[0], dtype=np.int64)
+    new_id[rank] = np.arange(uniq.shape[0])
+    return new_id[inverse], order
 
 
 def ingest_events(users: np.ndarray, items: np.ndarray,
@@ -78,29 +84,25 @@ def ingest_events(users: np.ndarray, items: np.ndarray,
         periods.append(np.stack([dense_u[m], dense_i[m]], axis=1))
 
     test_files = {}
-    new_users: set = set()
-    new_items: set = set()
-    seen_users: set = set()
-    seen_items: set = set()
-    for p in range(spec.n_periods):
-        if p >= spec.first_test_period:
-            hist = np.concatenate(periods[:p + 1], axis=0)
-            catalog = np.unique(hist[:, 1])
-            test_files[p] = attach_negatives(periods[p], hist, catalog,
-                                             spec.neg_num,
-                                             seed=spec.seed * 1000 + p)
-            new_users.update(int(u) for u in periods[p][:, 0]
-                             if int(u) not in seen_users)
-            new_items.update(int(i) for i in periods[p][:, 1]
-                             if int(i) not in seen_items)
-        seen_users.update(int(u) for u in periods[p][:, 0])
-        seen_items.update(int(i) for i in periods[p][:, 1])
+    for p in range(spec.first_test_period, spec.n_periods):
+        hist = np.concatenate(periods[:p + 1], axis=0)
+        catalog = np.unique(hist[:, 1])
+        test_files[p] = attach_negatives(periods[p], hist, catalog,
+                                         spec.neg_num,
+                                         seed=spec.seed * 1000 + p)
+
+    # "New" entities = first appearance falls inside the test span. Dense ids
+    # are first-appearance ordered, so the first event of dense id k is the
+    # k-th entry of unique's return_index over the dense stream.
+    def new_ids(dense):
+        first_idx = np.unique(dense, return_index=True)[1]
+        return np.flatnonzero(period_of[first_idx] >= spec.first_test_period)
 
     info = DatasetInfo(n_interactions=n, n_users=int(user_vocab.shape[0]),
                        n_items=int(item_vocab.shape[0]))
     write_dataset(out_path, periods, test_files, info,
-                  new_user_ids=np.array(sorted(new_users), dtype=np.int64),
-                  new_item_ids=np.array(sorted(new_items), dtype=np.int64))
+                  new_user_ids=new_ids(dense_u).astype(np.int64),
+                  new_item_ids=new_ids(dense_i).astype(np.int64))
     np.save(os.path.join(out_path, "user_vocab.npy"), user_vocab)
     np.save(os.path.join(out_path, "item_vocab.npy"), item_vocab)
     return info

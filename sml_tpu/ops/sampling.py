@@ -164,13 +164,10 @@ def is_positive(index: PeriodIndex, users: jax.Array,
     return index.pos_hashes[loc] == key
 
 
-def sample_negatives(index: PeriodIndex, users: jax.Array, key: jax.Array,
-                     tries: int = 16) -> jax.Array:
-    """Draw one negative item per user with bounded rejection.
-
-    ``users``: (B,) int32. Returns (B,) int32 items from the period pool that
-    are (with overwhelming probability) not among that user's positives.
-    """
+def _draw_negatives(index: PeriodIndex, users: jax.Array, key: jax.Array,
+                    tries: int):
+    """Shared draw: returns (picked, all_pos) where ``all_pos`` marks rows
+    whose every candidate hit the bloom (the fallback rows)."""
     b = users.shape[0]
     draws = jax.random.randint(key, (b, tries), 0, index.pool_size)
     cands = index.item_pool[draws]                          # (B, T)
@@ -179,7 +176,35 @@ def sample_negatives(index: PeriodIndex, users: jax.Array, key: jax.Array,
     first_ok = jnp.argmax(~pos, axis=1)
     all_pos = jnp.all(pos, axis=1)
     pick = jnp.where(all_pos, tries - 1, first_ok)
-    return cands[jnp.arange(b), pick]
+    return cands[jnp.arange(b), pick], all_pos
+
+
+def sample_negatives(index: PeriodIndex, users: jax.Array, key: jax.Array,
+                     tries: int = 16) -> jax.Array:
+    """Draw one negative item per user with bounded rejection.
+
+    ``users``: (B,) int32. Returns (B,) int32 items from the period pool that
+    are (with overwhelming probability) not among that user's positives.
+    """
+    picked, _ = _draw_negatives(index, users, key, tries)
+    return picked
+
+
+def sampler_stats(index: PeriodIndex, users: jax.Array, key: jax.Array,
+                  tries: int = 16):
+    """Statistical quality probe of :func:`sample_negatives` at the shipped
+    ``tries``: (fallback_rate, leak_rate) over one draw per row.
+
+    * ``fallback_rate`` — fraction of rows where all ``tries`` candidates hit
+      the bloom, so the sampler kept its last draw (bound: ``(p + 1.4%)^T``
+      for a user with positive-rate ``p`` over the pool).
+    * ``leak_rate`` — fraction of RETURNED samples that are true positives
+      (exact membership, not bloom) — the rate of corrupted training rows.
+    """
+    picked, all_pos = _draw_negatives(index, users, key, tries)
+    leak = is_positive(index, users, picked)
+    return (jnp.mean(all_pos.astype(jnp.float32)),
+            jnp.mean(leak.astype(jnp.float32)))
 
 
 def presampled_neg_column(rows: jax.Array, col: jax.Array) -> jax.Array:

@@ -114,7 +114,8 @@ class SMLDriver:
         self.logger.log(kind="phase", d_time=d_time, phase=phase,
                         inner_loss=self._last_inner_loss,
                         outer_loss=self._last_outer_loss,
-                        **self.engine.diagnostics(state))
+                        **self.engine.diagnostics(state),
+                        **self.engine.sampler_stats)
 
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:

@@ -73,6 +73,8 @@ class SMLEngine:
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
         self._refresh = jax.jit(functools.partial(
             transfer_mod.apply_tables, cfg=cfg.transfer))
+        # latest sampler quality probe per block kind (log_norms diagnostics)
+        self.sampler_stats: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ state
     def init_state(self, pretrained_mf: Optional[MFParams] = None) -> SMLState:
@@ -112,13 +114,28 @@ class SMLEngine:
         padded = pad_rows(set_t, self.cfg.mf_batch_size)
         index = (build_period_index(set_t, self.n_items)
                  if self.cfg.mf_sample == "alone" else None)
+        self._probe_sampler("inner", index, set_t)
         return padded, index
 
     def prep_outer(self, set_tt: np.ndarray):
         padded = pad_rows(set_tt, self.cfg.tr_batch_size)
         index = (build_period_index(set_tt, self.n_items)
                  if self.cfg.tr_sample_type == "alone" else None)
+        self._probe_sampler("outer", index, set_tt)
         return padded, index
+
+    def _probe_sampler(self, tag: str, index, rows: np.ndarray,
+                       cap: int = 8192) -> None:
+        """Measure the rejection sampler's fallback / positive-leak rates on
+        this period's users (log_norms diagnostics only)."""
+        if index is None or not self.cfg.log_norms:
+            return
+        from sml_tpu.ops.sampling import sampler_stats
+        users = jnp.asarray(rows[:cap, 0], dtype=jnp.int32)
+        fb, leak = sampler_stats(index, users,
+                                 jax.random.PRNGKey(0), self.cfg.neg_tries)
+        self.sampler_stats[f"{tag}_fallback_rate"] = float(fb)
+        self.sampler_stats[f"{tag}_leak_rate"] = float(leak)
 
     # ------------------------------------------------------------ operations
     def snapshot_last(self, state: SMLState) -> SMLState:

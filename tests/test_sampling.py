@@ -59,6 +59,46 @@ def test_sample_negatives_distribution(rng):
     assert counts.max() / max(counts.mean(), 1) < 2.5
 
 
+def test_sampler_stats_at_shipped_default():
+    """Statistical quality at the SHIPPED ``neg_tries`` default: a heavy user
+    whose positives cover 80% of the pool falls back at ~(0.8 + fp)^T, and
+    the true positive-leak rate is bounded by the fallback rate."""
+    from sml_tpu.config import SMLConfig
+    from sml_tpu.ops.sampling import sampler_stats
+
+    tries = SMLConfig().neg_tries
+    assert tries == 16, "docs/config contract: shipped default is 16"
+
+    n_items = 50
+    pool = np.arange(n_items)
+    heavy_pos = pool[:40]                      # user 0: 80% of the pool
+    inter = np.concatenate([
+        np.stack([np.zeros(40, dtype=np.int64), heavy_pos], axis=1),
+        np.stack([np.ones(5, dtype=np.int64), pool[40:45]], axis=1),
+    ])
+    index = build_period_index(inter, n_items)
+
+    n = 200_000
+    users = jnp.zeros(n, dtype=jnp.int32)
+    fb, leak = sampler_stats(index, users, jax.random.PRNGKey(2), tries)
+    fb, leak = float(fb), float(leak)
+    # the sampling pool is the period's UNIQUE items (45 here), so the heavy
+    # user's per-draw positive rate is 40/45; fallback ~ (40/45 + fp)^16 with
+    # a small bloom fp. 3-sigma of a binomial at n=200k is ~2.4e-3.
+    expect = (40 / 45) ** tries
+    assert abs(fb - expect) < 8e-3, (fb, expect)
+    # a fallback row leaks iff the kept draw is a true positive (~40/45 of
+    # bloom hits here)
+    assert leak <= fb
+    assert leak >= 0.5 * fb
+
+    # a light user (5/45 positives) virtually never falls back
+    fb2, leak2 = sampler_stats(index, jnp.ones(n, dtype=jnp.int32),
+                               jax.random.PRNGKey(3), tries)
+    assert float(fb2) < 1e-4
+    assert float(leak2) < 1e-4
+
+
 def test_presampled_neg_column():
     rows = jnp.asarray(np.arange(40).reshape(4, 10))
     col = jnp.asarray(3)
