@@ -159,9 +159,12 @@ class SMLConfig:
 
     # multi-pass offline Θ training (reference --pass_num + the stage>=19
     # early break for non-final passes, transfer.py:976-988). pass_num=1 is
-    # the paper configuration.
+    # the paper configuration. The reference hardcodes 19 for yelp and warns
+    # "news need be different, not 19" (transfer.py:986): 19 is exactly the
+    # warm-up span (online_test_start - online_train_start - 1), so None =
+    # derive that from the DataSpec (yelp -> 19, adressa -> 26).
     pass_num: int = 1
-    multipass_stop_stage: int = 19
+    multipass_stop_stage: Optional[int] = None
 
     # jax.profiler tracing: write a trace of period `profile_period` into
     # `profile_dir` (None disables)

@@ -222,27 +222,62 @@ class BaselineDriver:
         }
 
     # ------------------------------------------------------------------ modes
-    def _train_offline(self, train_data: np.ndarray) -> None:
-        """full-retrain / fine-tune epochs (``run_one_stage2``)."""
+    @property
+    def _early_stop(self) -> bool:
+        """The reference breaks epoch loops early only when
+        ``pool_init_type == 1`` (its news configuration,
+        ``baseline.py:294-295,374-375``); ``early_stop`` forces it on for
+        any pool type."""
+        return self.cfg.early_stop or self.cfg.pool_init_type == 1
+
+    def _recall_at_maxk(self, test: np.ndarray) -> float:
+        k = max(self.cfg.topk)
+        return self.evaluate(test)[k][0]
+
+    def _train_offline(self, train_data: np.ndarray,
+                       test: Optional[np.ndarray] = None) -> None:
+        """full-retrain / fine-tune epochs (``run_one_stage2``), with the
+        reference's early stop: eval recall@20 every 5 epochs, break after
+        >5 epochs without a new best (``baseline.py:366-375``)."""
         padded = pad_rows(train_data, self.cfg.batch_size)
         index = build_period_index(train_data, self.stream.info.n_items)
-        for _ in range(self.cfg.epochs):
+        best20, not_chang = 0.0, 0
+        for epoch in range(self.cfg.epochs):
             self.mf, self.opt, _ = self._epoch(
                 self.mf, self.opt, padded.rows, padded.mask,
                 jnp.int32(padded.n_real), self._next_key(), index)
+            if self._early_stop and test is not None:
+                not_chang += 1
+                if epoch % 5 == 0:
+                    r20 = self._recall_at_maxk(test)
+                    if r20 > best20:
+                        best20, not_chang = r20, 0
+                    if not_chang > 5:
+                        break
 
-    def _train_spmf(self, pool_data: np.ndarray) -> None:
-        """SPMF epochs over reservoir ∪ new data with rank-softmax draws."""
+    def _train_spmf(self, pool_data: np.ndarray,
+                    test: Optional[np.ndarray] = None) -> None:
+        """SPMF epochs over reservoir ∪ new data with rank-softmax draws.
+        Early stop evals every epoch and breaks after 5 without improvement
+        (``baseline.py:285-295``)."""
         hist = np.concatenate(self._hist_pairs, axis=0)
         hist_index = build_period_index(hist, self.stream.info.n_items)
         pairs = jnp.asarray(pool_data[:, :2], dtype=jnp.int32)
         n_batches = max(1, round(pool_data.shape[0] / self.cfg.batch_size))
+        best20, not_chang = 0.0, 0
         for _ in range(self.cfg.epochs):
             p = self._probs(self.mf, pairs)
             cdf = jnp.cumsum(p)
             self.mf, self.opt, _ = self._spmf_epoch(
                 self.mf, self.opt, pairs, cdf, n_batches=n_batches,
                 key=self._next_key(), hist_index=hist_index)
+            if self._early_stop and test is not None:
+                not_chang += 1
+                r20 = self._recall_at_maxk(test)
+                if r20 > best20:
+                    best20, not_chang = r20, 0
+                if not_chang >= 5:
+                    break
 
     # ---------------------------------------------------------------- periods
     def warm_reservoir(self, period: int) -> None:
@@ -271,10 +306,10 @@ class BaselineDriver:
             pool = (np.concatenate(
                 [self.reservoir.pool[:self.reservoir.pool_have], train], axis=0)
                 if self.reservoir.pool_have > 0 else train)
-            self._train_spmf(pool)
+            self._train_spmf(pool, test)
             self.reservoir.update(train)
         else:
-            self._train_offline(train)
+            self._train_offline(train, test)
 
         attributed = self.evaluate_attributed(test)
         extra = {}

@@ -70,6 +70,13 @@ class SMLDriver:
         self.report = RunReport(topks=tuple(cfg.topk))
         self._last_inner_loss = float("nan")
         self._last_outer_loss = float("nan")
+        # non-final multi-pass passes stop at the end of the warm-up span
+        # (reference hardcodes 19 for yelp = 30 - 10 - 1 and notes "news need
+        # be different", transfer.py:986)
+        self._stop_stage = (cfg.multipass_stop_stage
+                            if cfg.multipass_stop_stage is not None
+                            else spec.online_test_start
+                            - spec.online_train_start - 1)
 
     # ------------------------------------------------------------------ phases
     def _inner_block(self, state: SMLState, set_t: np.ndarray,
@@ -199,7 +206,7 @@ class SMLDriver:
                 if not ok:
                     break
                 d_time += 1
-                if not final_pass and d_time >= self.cfg.multipass_stop_stage:
+                if not final_pass and d_time >= self._stop_stage:
                     break
         self.final_state = state
         self.logger.log(kind="summary", **self.report.summary())
