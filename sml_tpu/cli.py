@@ -77,9 +77,23 @@ def cmd_sml(args) -> int:
         eval_during_outer=args.eval_during_outer,
         profile_dir=args.profile_dir)
 
-    logger = MetricsLogger(args.metrics_jsonl, echo=True)
+    import jax
+    main_proc = jax.process_index() == 0
+    logger = MetricsLogger(args.metrics_jsonl if main_proc else None,
+                           echo=main_proc)
     driver = SMLDriver(cfg, spec, logger=logger)
     engine = driver.engine
+
+    placement = None
+    if jax.process_count() > 1:
+        from sml_tpu.parallel.multihost import (MultihostPlacement,
+                                                make_global_mesh)
+        mesh = make_global_mesh()
+        placement = MultihostPlacement(mesh, engine.n_users, engine.n_items)
+        engine.placement = placement
+        if main_proc:
+            print(f"multi-host: {jax.process_count()} processes, "
+                  f"mesh {dict(mesh.shape)}", file=sys.stderr)
 
     pretrained = None
     if args.pre_model:
@@ -96,7 +110,15 @@ def cmd_sml(args) -> int:
     if args.checkpoint_dir and latest_step(args.checkpoint_dir) is not None:
         state, start, _ = restore_checkpoint(args.checkpoint_dir, state)
         start += 1
-        print(f"resumed at period {start}", file=sys.stderr)
+        if main_proc:
+            print(f"resumed at period {start}", file=sys.stderr)
+    if placement is not None:
+        state = placement.state(state)
+
+    def host_state(st):
+        # collective on every process; written by process 0 only
+        return (jax.tree.map(placement.fetch, st)
+                if placement is not None else st)
 
     driver.feeder.reinit()
     d_time = 0
@@ -106,21 +128,26 @@ def cmd_sml(args) -> int:
             if not ok:
                 break
             if args.checkpoint_dir:
-                save_checkpoint(args.checkpoint_dir, d_time, state)
+                hs = host_state(state)
+                if main_proc:
+                    save_checkpoint(args.checkpoint_dir, d_time, hs)
         else:
             driver.feeder.next_train(d_time)  # advance test cursor
         d_time += 1
 
     if args.save_model:
-        np.savez(args.save_model,
-                 user_emb=np.asarray(state.mf.user_emb),
-                 item_emb=np.asarray(state.mf.item_emb),
-                 user_bias=np.asarray(state.mf.user_bias),
-                 item_bias=np.asarray(state.mf.item_bias))
-        print(f"saved final tables to {args.save_model}", file=sys.stderr)
+        hs = host_state(state)
+        if main_proc:
+            np.savez(args.save_model,
+                     user_emb=np.asarray(hs.mf.user_emb),
+                     item_emb=np.asarray(hs.mf.item_emb),
+                     user_bias=np.asarray(hs.mf.user_bias),
+                     item_bias=np.asarray(hs.mf.item_bias))
+            print(f"saved final tables to {args.save_model}", file=sys.stderr)
 
     summary = driver.report.summary()
-    print(json.dumps(summary, indent=2))
+    if main_proc:
+        print(json.dumps(summary, indent=2))
     return 0
 
 
@@ -260,6 +287,14 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon environment pins "
                         "JAX_PLATFORMS; this overrides it pre-init)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port "
+                        "(jax.distributed). On TPU pods omit all three "
+                        "flags — everything auto-detects")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("sml", help="run the SML sequential-retraining sweep")
@@ -372,6 +407,10 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        from sml_tpu.parallel.multihost import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     return args.fn(args)
 
 

@@ -218,6 +218,10 @@ def _mean_loss(losses, n_real: int, batch_size: int) -> float:
     (skipped tail batches report 0 and are excluded). Matches the
     reference's printed ``loss_all/(batch_id+1)/batch_size`` normalization
     (``transfer.py:513-514``) up to its batch-mean-vs-sum convention."""
+    if not isinstance(losses, np.ndarray) and getattr(
+            losses, "is_fully_addressable", True) is False:
+        from sml_tpu.parallel.multihost import fetch
+        losses = fetch(losses)
     nb = max(-(-n_real // batch_size), 1)
     return float(np.asarray(losses)[:nb].mean())
 

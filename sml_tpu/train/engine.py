@@ -75,6 +75,11 @@ class SMLEngine:
             transfer_mod.apply_tables, cfg=cfg.transfer))
         # latest sampler quality probe per block kind (log_norms diagnostics)
         self.sampler_stats: Dict[str, float] = {}
+        # optional multi-host placement strategy
+        # (``parallel.multihost.MultihostPlacement``): when set, every padded
+        # batch / sampling index built here is turned into a global array so
+        # the same jitted epochs span processes
+        self.placement = None
 
     # ------------------------------------------------------------------ state
     def init_state(self, pretrained_mf: Optional[MFParams] = None) -> SMLState:
@@ -115,14 +120,19 @@ class SMLEngine:
         index = (build_period_index(set_t, self.n_items)
                  if self.cfg.mf_sample == "alone" else None)
         self._probe_sampler("inner", index, set_t)
-        return padded, index
+        return self._place(padded, index)
 
     def prep_outer(self, set_tt: np.ndarray):
         padded = pad_rows(set_tt, self.cfg.tr_batch_size)
         index = (build_period_index(set_tt, self.n_items)
                  if self.cfg.tr_sample_type == "alone" else None)
         self._probe_sampler("outer", index, set_tt)
-        return padded, index
+        return self._place(padded, index)
+
+    def _place(self, padded, index):
+        if self.placement is None:
+            return padded, index
+        return self.placement.batch(padded), self.placement.replicated(index)
 
     def _probe_sampler(self, tag: str, index, rows: np.ndarray,
                        cap: int = 8192) -> None:
@@ -188,6 +198,8 @@ class SMLEngine:
                                 state.hat_user, state.hat_item,
                                 state.last_user, state.last_item,
                                 state.theta)
+        if self.placement is not None:
+            vals = [self.placement.fetch(v) for v in vals]
         names = ("user_norm", "item_norm", "hat_user_norm", "hat_item_norm",
                  "last_user_norm", "last_item_norm", "theta_norm")
         return {n: float(v) for n, v in zip(names, vals)}
@@ -195,7 +207,12 @@ class SMLEngine:
     def evaluate(self, mf: MFParams, test_rows: np.ndarray) -> Dict[int, Dict[str, float]]:
         """recall@K / NDCG@K over eval-format rows; all Ks in one pass."""
         padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        if self.placement is not None:
+            padded = self.placement.batch(padded)
         sums = self._eval(mf, padded.rows, padded.mask)
         n = max(padded.n_real, 1)
+        if self.placement is not None:
+            sums = {k: (self.placement.fetch(h), self.placement.fetch(nd))
+                    for k, (h, nd) in sums.items()}
         return {k: {"recall": float(h) / n, "ndcg": float(nd) / n}
                 for k, (h, nd) in sums.items()}
