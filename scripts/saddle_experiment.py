@@ -191,11 +191,11 @@ def phase_reference(args):
                                             datasets.item_number, LATENT)
             model.run(a)
         out = sink.getvalue()
-        # "MF-stage: 10 epoch: 0 loss:12.34567 recall..." (transfer.py:519)
-        # or "... loss: 12.34" (:525); normalize the per-epoch SUM over
-        # batches to a mean with the known batch count.
-        n_batches = int(np.ceil(INTER / 1024))
-        mf_losses = [round(float(v) / n_batches, 4) for v in
+        # "MF-stage: 10 epoch: 0 loss:0.00135 recall..." (transfer.py:519).
+        # The reference prints mean_batch_loss / MF_batch_size
+        # (transfer.py:513-514); multiply back to the mean batch loss, the
+        # same normalization our jsonl inner_loss uses.
+        mf_losses = [round(float(v) * 1024, 4) for v in
                      re.findall(r"MF-stage:.*?loss:\s*([\d.]+)", out)]
         with torch.no_grad():
             theta_norm = float(torch.sqrt(sum(

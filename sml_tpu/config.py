@@ -181,6 +181,13 @@ class SMLConfig:
 
     # numerics
     dtype: str = "float32"
+    # Storage dtype of the last/hat snapshot tables ("float32" |
+    # "bfloat16"). bfloat16 halves the two full-table snapshots' HBM
+    # footprint (the memory lever for fitting 5M+ users on one chip); all
+    # math still runs in f32 — rows are upcast at the gather/refresh
+    # boundary, so only the STORED snapshot values are rounded.
+    # tests/test_snapshot_dtype.py bounds the training-trajectory deviation.
+    snapshot_dtype: str = "float32"
     # table init scale for fresh (non-pretrained) states; 1.0 = torch
     # nn.Embedding default N(0,1)
     emb_init_scale: float = 1.0

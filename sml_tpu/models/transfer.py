@@ -354,8 +354,12 @@ def apply_tables(theta: TransferParams, cfg: TransferConfig,
         hat_p = jnp.pad(hat, pad)
         blocks_l = last_p.reshape(-1, block_rows, d)
         blocks_h = hat_p.reshape(-1, block_rows, d)
+        # per-block f32 upcast: snapshots may be stored bf16
+        # (SMLConfig.snapshot_dtype) — only one block's f32 copy is ever live
         out = jax.lax.map(
-            lambda lh: apply_rows(theta, cfg, side, lh[0], lh[1]),
+            lambda lh: apply_rows(theta, cfg, side,
+                                  lh[0].astype(jnp.float32),
+                                  lh[1].astype(jnp.float32)),
             (blocks_l, blocks_h))
         return out.reshape(n_pad, d)[:n]
 

@@ -46,8 +46,11 @@ def pallas_available() -> bool:
 def _kernel(last_ref, hat_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, out_ref,
             *, c1: int, c2: int):
-    x_t = last_ref[:]                       # (R, d)
-    x_hat = hat_ref[:]                      # (R, d)
+    # snapshots may be stored bf16 (SMLConfig.snapshot_dtype): upcast in
+    # VMEM so all math (incl. the x_com norm) runs f32; HBM still only
+    # streams the narrow inputs
+    x_t = last_ref[:].astype(jnp.float32)   # (R, d)
+    x_hat = hat_ref[:].astype(jnp.float32)  # (R, d)
 
     # interaction channel (conv_transfer.py:93-100); forward-only so the
     # stop_gradient is implicit
@@ -112,10 +115,10 @@ def fused_table_transfer(tower: ConvTower, last: jax.Array, hat: jax.Array,
                   rep((c2 * d, h)), rep((1, h)),
                   rep((h, d)), rep((1, d))],
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), last.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_row * n_pad,
-            bytes_accessed=3 * n_pad * d * 4,
+            bytes_accessed=(2 * last.dtype.itemsize + 4) * n_pad * d,
             transcendentals=(c1 + c2) * d * n_pad + h * n_pad,
         ),
     )(last, hat,

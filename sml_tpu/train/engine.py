@@ -98,13 +98,14 @@ class SMLEngine:
                          self.cfg.latent_dim,
                          emb_scale=self.cfg.emb_init_scale)
         theta = init_transfer(ktr, self.cfg.transfer)
+        sdt = jnp.dtype(self.cfg.snapshot_dtype)
         return SMLState(
             mf=mf,
             theta=theta,
-            last_user=jnp.zeros_like(mf.user_emb),
-            last_item=jnp.zeros_like(mf.item_emb),
-            hat_user=mf.user_emb.copy(),
-            hat_item=mf.item_emb.copy(),
+            last_user=jnp.zeros(mf.user_emb.shape, sdt),
+            last_item=jnp.zeros(mf.item_emb.shape, sdt),
+            hat_user=self._snap(mf.user_emb),
+            hat_item=self._snap(mf.item_emb),
             mf_opt=self.mf_tx.init(mf),
             tr_opt=self.tr_tx.init(theta),
             key=krun,
@@ -148,21 +149,33 @@ class SMLEngine:
         self.sampler_stats[f"{tag}_leak_rate"] = float(leak)
 
     # ------------------------------------------------------------ operations
+    def _snap(self, x: jax.Array) -> jax.Array:
+        """Snapshot copy in ``cfg.snapshot_dtype``. Must be a NEW buffer even
+        at same-dtype (the epochs donate the state; an aliased snapshot
+        would be invalidated with it)."""
+        sdt = jnp.dtype(self.cfg.snapshot_dtype)
+        return x.astype(sdt) if sdt != x.dtype else x.copy()
+
     def snapshot_last(self, state: SMLState) -> SMLState:
         """``save_MF_weight('last')`` (``transfer.py:925-927``)."""
-        return state._replace(last_user=state.mf.user_emb.copy(),
-                              last_item=state.mf.item_emb.copy())
+        return state._replace(last_user=self._snap(state.mf.user_emb),
+                              last_item=self._snap(state.mf.item_emb))
 
     def snapshot_hat(self, state: SMLState) -> SMLState:
         """``save_MF_weight('hat')`` (``transfer.py:928-933``)."""
-        return state._replace(hat_user=state.mf.user_emb.copy(),
-                              hat_item=state.mf.item_emb.copy())
+        return state._replace(hat_user=self._snap(state.mf.user_emb),
+                              hat_item=self._snap(state.mf.item_emb))
 
     def load_hat_into_mf(self, state: SMLState) -> SMLState:
         """``load_MFbase_weight(hat)`` — the ``Load_W_hat`` option
         (``transfer.py:788-789``)."""
+        dt = state.mf.user_emb.dtype
+
+        def up(x):   # fresh f32 buffer (donation safety, see _snap)
+            return x.astype(dt) if x.dtype != dt else x.copy()
+
         return state._replace(mf=with_tables(
-            state.mf, state.hat_user.copy(), state.hat_item.copy()))
+            state.mf, up(state.hat_user), up(state.hat_item)))
 
     def refresh(self, state: SMLState) -> SMLState:
         """``updata``: MF tables <- Θ(last, hat) (``transfer.py:884-902``)."""

@@ -98,6 +98,12 @@ def _epoch_triples(rows, key, mode):
     return jnp.stack([rows[:, 0], rows[:, 1], j], axis=1)
 
 
+def _g32(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows and upcast to f32: snapshot tables may be stored bf16
+    (``SMLConfig.snapshot_dtype``) but all loss math runs in f32."""
+    return table[idx].astype(jnp.float32)
+
+
 def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
     """Inner (MF) epoch; trains the MF pytree through frozen Θ.
 
@@ -118,7 +124,8 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
 
     def loss_fn(mfp, theta, last_u, last_i, u, i, j, m):
         return row_loss(mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],
-                        theta, last_u[u], last_i[i], last_i[j], m)
+                        theta, _g32(last_u, u), _g32(last_i, i),
+                        _g32(last_i, j), m)
 
     def epoch(mfp, opt, theta, last_u, last_i, rows, mask, n_real, key,
               index: Optional[PeriodIndex] = None):
@@ -140,7 +147,8 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
                 loss, (gu, gi, gj) = jax.value_and_grad(
                     row_loss, argnums=(0, 1, 2))(
                     mfp.user_emb[u], mfp.item_emb[i], mfp.item_emb[j],
-                    theta, last_u[u], last_i[i], last_i[j], m)
+                    theta, _g32(last_u, u), _g32(last_i, i),
+                    _g32(last_i, j), m)
                 sparse = {
                     "user_emb": TableGrad(u, gu),
                     "item_emb": TableGrad(jnp.concatenate([i, j]),
@@ -170,8 +178,8 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
 
     def loss_fn(theta, last_u, last_i, hat_u, hat_i, u, i, j, m):
         return transferred_pair_loss(
-            theta, tcfg, last_u[u], last_i[i], last_i[j],
-            hat_u[u], hat_i[i], hat_i[j], m, cfg.use_bce)
+            theta, tcfg, _g32(last_u, u), _g32(last_i, i), _g32(last_i, j),
+            _g32(hat_u, u), _g32(hat_i, i), _g32(hat_i, j), m, cfg.use_bce)
 
     def epoch(theta, opt, last_u, last_i, hat_u, hat_i, rows, mask, n_real,
               key, index: Optional[PeriodIndex] = None):
