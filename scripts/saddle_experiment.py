@@ -127,7 +127,8 @@ def phase_ours(args):
                         transfer=TransferConfig(latent_dim=LATENT),
                         mf_batch_size=1024, tr_batch_size=256,
                         eval_batch_size=1024, mf_sample="all",
-                        tr_sample_type="alone", seed=seed, log_norms=True)
+                        tr_sample_type="alone", seed=seed, log_norms=True,
+                        theta_warmstart_steps=args.warmstart)
         driver = SMLDriver(cfg, dspec, logger=MetricsLogger(diag))
         t0 = time.time()
         driver.run(driver.engine.init_state(pretrained_mf=params))
@@ -142,7 +143,8 @@ def phase_ours(args):
             "seconds": round(time.time() - t0, 1),
         })
         log(f"ours seed {seed}: inner={runs[-1]['inner_losses']}")
-        _record(args.root, "ours", runs)
+        _record(args.root,
+                "ours_warmstart" if args.warmstart else "ours", runs)
 
 
 def phase_reference(args):
@@ -233,6 +235,8 @@ def main():
                     choices=["gen", "ours", "reference"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--seeds", type=int, default=16)
+    ap.add_argument("--warmstart", type=int, default=0,
+                    help="ours: theta_warmstart_steps")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
     phase_fn = {"gen": phase_gen, "ours": phase_ours,

@@ -126,7 +126,8 @@ def phase_ours(args):
                     eval_batch_size=1024, mf_sample="all",
                     tr_sample_type="alone", seed=args.seed,
                     eval_during_inner=args.evals, eval_during_outer=args.evals,
-                    log_norms=bool(args.log))
+                    log_norms=bool(args.log),
+                    theta_warmstart_steps=args.warmstart)
     dspec = dspec_for(args.root)
     logger = MetricsLogger(args.log) if args.log else None
     driver = SMLDriver(cfg, dspec, logger=logger)
@@ -139,6 +140,7 @@ def phase_ours(args):
         "backend": jax.default_backend(),
         "seed": args.seed,
         "evals_during_train": args.evals,
+        "theta_warmstart_steps": args.warmstart,
         "total_seconds": round(total, 1),
         "period_seconds": [round(s, 2) for s in report.period_seconds],
         "summary": {k: round(v, 5) for k, v in report.summary().items()},
@@ -187,6 +189,8 @@ def main():
                          "evals (wall-clock-faithful mode)")
     ap.add_argument("--log", default=None,
                     help="ours: jsonl diagnostics path (enables log_norms)")
+    ap.add_argument("--warmstart", type=int, default=0,
+                    help="ours: theta_warmstart_steps (saddle stabilizer)")
     args = ap.parse_args()
     if args.platform:
         import jax

@@ -179,6 +179,20 @@ class SMLConfig:
 
     seed: int = 2000
 
+    # θ identity warm-start (new-design stabilizer, OFF for strict reference
+    # parity): before the sweep, fit Θ_side(x, x) ≈ x by Adam on rows drawn
+    # from the pretrained tables. A freshly-initialized conv tower outputs
+    # rows at ~17% of the table norm (scripts/theta_init_scale.py), so the
+    # first full-table refresh WIPES the pretrained tables; in bad seeds the
+    # subsequent outer training falls into the zero-score BCE saddle
+    # (loss = 2 ln 2) and θ's weight decay collapses it — the round-1
+    # seed-variance pathology (VERDICT r1 item 1; the torch reference
+    # exhibits the same saddle, scripts/saddle_experiment.py). Starting at
+    # the identity makes the refresh value-preserving from phase 0.
+    theta_warmstart_steps: int = 0
+    theta_warmstart_rows: int = 4096
+    theta_warmstart_lr: float = 1e-3
+
     # numerics
     dtype: str = "float32"
     # Storage dtype of the last/hat snapshot tables ("float32" |

@@ -98,6 +98,9 @@ class SMLEngine:
                          self.cfg.latent_dim,
                          emb_scale=self.cfg.emb_init_scale)
         theta = init_transfer(ktr, self.cfg.transfer)
+        if self.cfg.theta_warmstart_steps > 0:
+            kws, krun = jax.random.split(krun)
+            theta = self._theta_warmstart(theta, mf, kws)
         sdt = jnp.dtype(self.cfg.snapshot_dtype)
         return SMLState(
             mf=mf,
@@ -110,6 +113,44 @@ class SMLEngine:
             tr_opt=self.tr_tx.init(theta),
             key=krun,
         )
+
+    def _theta_warmstart(self, theta: TransferParams, mf: MFParams,
+                         key: jax.Array) -> TransferParams:
+        """Fit Θ_side(x, x) ≈ x on pretrained-table rows (see
+        ``SMLConfig.theta_warmstart_steps``). At every period start
+        ``last == current tables``, so the identity is the value-preserving
+        point of the refresh ``updata`` (``transfer.py:884-902``)."""
+        cfg = self.cfg
+        tx = torch_adam(cfg.theta_warmstart_lr)
+        n_rows = cfg.theta_warmstart_rows
+
+        def loss_fn(th, xu, xi):
+            pu = transfer_mod.apply_rows(th, cfg.transfer, "user", xu, xu)
+            pi = transfer_mod.apply_rows(th, cfg.transfer, "item", xi, xi)
+            return (jnp.mean(jnp.sum((pu - xu) ** 2, -1))
+                    + jnp.mean(jnp.sum((pi - xi) ** 2, -1)))
+
+        def step(carry, k):
+            th, opt = carry
+            ku, ki = jax.random.split(k)
+            xu = mf.user_emb[jax.random.randint(
+                ku, (n_rows,), 0, mf.user_emb.shape[0])]
+            xi = mf.item_emb[jax.random.randint(
+                ki, (n_rows,), 0, mf.item_emb.shape[0])]
+            loss, grads = jax.value_and_grad(loss_fn)(th, xu, xi)
+            updates, opt = tx.update(grads, opt, th)
+            return (optax.apply_updates(th, updates), opt), loss
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(th, key):
+            keys = jax.random.split(key, cfg.theta_warmstart_steps)
+            (th, _), losses = jax.lax.scan(step, (th, tx.init(th)), keys)
+            return th, losses
+
+        theta, losses = run(theta, key)
+        self.sampler_stats["theta_warmstart_final_loss"] = \
+            float(losses[-1])
+        return theta
 
     def _next_key(self, state: SMLState) -> Tuple[SMLState, jax.Array]:
         k1, k2 = jax.random.split(state.key)
