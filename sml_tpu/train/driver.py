@@ -149,6 +149,13 @@ class SMLDriver:
         sd: StageData = self.feeder.next_train(d_time)
         if sd.set_t is None:
             return state, False
+        # upload the val eval set once per period (it is re-evaluated up to
+        # multi_num*(mf+tr epochs) times when in-training evals are on)
+        val = sd.val
+        if val is not None and (self.cfg.eval_during_inner
+                                or self.cfg.eval_during_outer):
+            val = self.engine.make_eval_set(val)
+        sd = sd._replace(val=val)
 
         if sd.now_test is None:
             # branch A: warm-up (transfer.py:772-792)

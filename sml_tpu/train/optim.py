@@ -70,6 +70,18 @@ def _collapse_duplicates(idx: jax.Array, rows: jax.Array) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def _decay_on_tpu(p: jax.Array) -> bool:
+    # Single-device TPU only: GSPMD cannot partition a pallas_call over a
+    # mesh, so sharded runs keep the XLA formulation (same numbers).
+    from sml_tpu.ops.adam_kernel import decay_adam_supported
+    try:
+        backend = jax.default_backend()
+        n_dev = jax.device_count()
+    except Exception:  # pragma: no cover
+        return False
+    return backend == "tpu" and n_dev == 1 and decay_adam_supported(p)
+
+
 def sparse_dense_adam_update(params, opt_state,
                              sparse: Dict[str, TableGrad], *,
                              lr: float, b1: float = ADAM_B1,
@@ -120,10 +132,17 @@ def sparse_dense_adam_update(params, opt_state,
             p_rows = jnp.take(p, idx, axis=0)
             mu_rows = jnp.take(mu, idx, axis=0)
             nu_rows = jnp.take(nu, idx, axis=0)
-        # full-table decay-only pass (the dense update with g = 0)
-        mu_d = b1 * mu
-        nu_d = b2 * nu
-        p_d = adam_from_moments(mu_d, nu_d, p)
+        # full-table decay-only pass (the dense update with g = 0); on TPU
+        # the big tables go through the fused Pallas kernel — one streaming
+        # pass over (p, mu, nu) at the HBM-traffic floor, same numbers
+        if _decay_on_tpu(p):
+            from sml_tpu.ops.adam_kernel import fused_decay_adam
+            p_d, mu_d, nu_d = fused_decay_adam(
+                p, mu, nu, bc1, bc2, lr=lr, b1=b1, b2=b2, eps=eps)
+        else:
+            mu_d = b1 * mu
+            nu_d = b2 * nu
+            p_d = adam_from_moments(mu_d, nu_d, p)
         if name in sparse:
             # exact dense math for the touched rows
             mu_f = (1 - b1) * g_sum + b1 * mu_rows

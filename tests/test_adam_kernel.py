@@ -1,0 +1,36 @@
+"""Fused decay-Adam Pallas kernel vs the XLA formulation (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sml_tpu.ops.adam_kernel import fused_decay_adam
+from sml_tpu.train.optim import ADAM_B1, ADAM_B2, ADAM_EPS
+
+
+@pytest.mark.parametrize("shape", [(2048, 64), (1000 * 128,), (4096, 96)])
+def test_fused_decay_matches_xla(rng, shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=shape) * 1e-2, jnp.float32)
+    nu = jnp.asarray(rng.random(shape) * 1e-4, jnp.float32)
+    t = 7
+    bc1 = jnp.float32(1 - ADAM_B1 ** t)
+    bc2 = jnp.float32(1 - ADAM_B2 ** t)
+    lr = 0.01
+
+    mu_x = ADAM_B1 * mu
+    nu_x = ADAM_B2 * nu
+    p_x = p + (-lr) * ((mu_x / bc1) / (jnp.sqrt(nu_x / bc2) + ADAM_EPS))
+
+    with pltpu.force_tpu_interpret_mode():
+        p_k, mu_k, nu_k = fused_decay_adam(
+            p, mu, nu, bc1, bc2, lr=lr, b1=ADAM_B1, b2=ADAM_B2,
+            eps=ADAM_EPS, block_rows=512)
+
+    np.testing.assert_array_equal(np.asarray(mu_k), np.asarray(mu_x))
+    np.testing.assert_array_equal(np.asarray(nu_k), np.asarray(nu_x))
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x),
+                               rtol=1e-6, atol=1e-8)
