@@ -75,6 +75,8 @@ def cmd_sml(args) -> int:
         emb_init_scale=args.emb_init_scale,
         eval_during_inner=args.eval_during_inner,
         eval_during_outer=args.eval_during_outer,
+        theta_warmstart_steps=args.theta_warmstart,
+        snapshot_dtype=args.snapshot_dtype,
         profile_dir=args.profile_dir)
 
     import jax
@@ -287,6 +289,10 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon environment pins "
                         "JAX_PLATFORMS; this overrides it pre-init)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory; "
+                        "repeat runs skip the one-time compiles (the first "
+                        "Yelp sweep spends ~45%% of one period compiling)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator host:port "
                         "(jax.distributed). On TPU pods omit all three "
@@ -327,6 +333,14 @@ def main(argv=None) -> int:
     ps.add_argument("--emb-init-scale", type=float, default=1.0)
     ps.add_argument("--eval-during-inner", action="store_true")
     ps.add_argument("--eval-during-outer", action="store_true")
+    ps.add_argument("--theta-warmstart", type=int, default=0,
+                    help="identity warm-start steps for Θ before the sweep "
+                         "(saddle stabilizer; 400 recommended at d=64, 0 = "
+                         "strict reference init)")
+    ps.add_argument("--snapshot-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of the last/hat table snapshots (bfloat16 "
+                         "halves snapshot HBM; 5M users fit one v5e chip)")
     ps.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of period 0 here")
     ps.set_defaults(fn=cmd_sml)
@@ -407,6 +421,12 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        import os
+        import jax
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.coordinator:
         from sml_tpu.parallel.multihost import init_distributed
         init_distributed(args.coordinator, args.num_processes,

@@ -24,11 +24,21 @@ import numpy as np
 
 
 def _flatten_with_paths(tree) -> Dict[str, Any]:
-    flat = {}
+    """Flatten to {path: ndarray}. ml_dtypes extension dtypes (bfloat16,
+    float8_*) are not numpy-native and silently round-trip through ``.npz``
+    as opaque void bytes — store their raw bits as a same-width uint view
+    instead, with the true dtype names recorded under ``__dtypes__``."""
+    flat, ext = {}, {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = "/".join(str(p.name) if hasattr(p, "name") else str(p.idx)
                        for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "V":  # ml_dtypes extension type
+            ext[key] = arr.dtype.name
+            arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+        flat[key] = arr
+    if ext:
+        flat["__dtypes__"] = np.asarray(json.dumps(ext))
     return flat
 
 
@@ -85,6 +95,8 @@ def restore_checkpoint(directory: str, template,
     else:
         fname = f"ckpt_{step:06d}.npz"
     data = np.load(os.path.join(directory, fname))
+    ext = (json.loads(str(data["__dtypes__"]))
+           if "__dtypes__" in data.files else {})
 
     flat_template = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
@@ -92,6 +104,9 @@ def restore_checkpoint(directory: str, template,
         key = "/".join(str(p.name) if hasattr(p, "name") else str(p.idx)
                        for p in path)
         arr = data[key]
+        if key in ext:
+            import ml_dtypes
+            arr = arr.view(np.dtype(getattr(ml_dtypes, ext[key])))
         leaves.append(jax.numpy.asarray(
             arr, dtype=getattr(leaf, "dtype", arr.dtype)))
     state = jax.tree_util.tree_unflatten(flat_template[1], leaves)

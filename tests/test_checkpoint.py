@@ -50,3 +50,23 @@ def test_restore_preserves_dtypes(tmp_path):
     restored, _, _ = restore_checkpoint(d, engine.init_state())
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         assert a.dtype == b.dtype
+
+
+def test_bfloat16_snapshot_roundtrip(tmp_path):
+    """bf16 leaves are an ml_dtypes extension type that np.savez silently
+    degrades to void bytes; the bit-view encoding must round-trip them
+    exactly (regression: resume crashed with --snapshot-dtype bfloat16)."""
+    cfg = SMLConfig(latent_dim=8, mf_batch_size=64, tr_batch_size=32,
+                    snapshot_dtype="bfloat16",
+                    transfer=TransferConfig(latent_dim=8, fc_hidden=32))
+    engine = SMLEngine(cfg, 50, 30)
+    state = engine.init_state()
+    assert state.last_user.dtype == jax.numpy.bfloat16
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 0, state)
+    restored, _, _ = restore_checkpoint(d, engine.init_state())
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(a).reshape(-1).view(np.uint8),
+            np.asarray(b).reshape(-1).view(np.uint8))

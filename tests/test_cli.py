@@ -122,3 +122,33 @@ def test_cli_sml_save_model_roundtrip(tmp_path, capsys):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["user"] == 5 and len(rec["items"]) == 3
+
+
+def test_cli_warmstart_snapshot_dtype_compile_cache(tmp_path, capsys):
+    """Round-2 flags: --theta-warmstart / --snapshot-dtype / --compile-cache."""
+    import numpy as np
+
+    root = str(tmp_path)
+    out = os.path.join(root, "synth")
+    main(["synth", "--out", out, "--users", "120", "--items", "60",
+          "--periods", "5", "--interactions", "300", "--first-test", "2",
+          "--neg-num", "19", "--seed", "11"])
+    pre = os.path.join(root, "pre.npz")
+    main(["pretrain", "--data-root", root, "--data-name", "synth",
+          "--num-periods", "5", "--online-train-start", "2",
+          "--online-test-start", "3", "--out", pre, "--epochs", "4",
+          "--latent", "8", "--batch-size", "64"])
+    capsys.readouterr()
+
+    cache = os.path.join(root, "xla_cache")
+    rc = main(["--compile-cache", cache,
+               "sml", "--data-root", root, "--data-name", "synth",
+               "--num-periods", "5", "--online-train-start", "2",
+               "--online-test-start", "3", "--pre-model", pre,
+               "--multi-num", "1", "--latent", "8", "--mf-sample", "alone",
+               "--theta-warmstart", "50", "--snapshot-dtype", "bfloat16"])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    summary = json.loads(out_text[out_text.index("{"):])
+    assert "test_recall@5" in summary
+    assert os.path.isdir(cache)
