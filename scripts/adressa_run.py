@@ -18,8 +18,6 @@ Each phase merges results into <root>/results.json.
 """
 
 import argparse
-import fcntl
-import json
 import os
 import sys
 import time
@@ -44,18 +42,8 @@ def log(*a):
 
 
 def record(root, key, value):
-    path = os.path.join(root, "results.json")
-    with open(path + ".lock", "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        data = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                data = json.load(fh)
-        data[key] = value
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh, indent=2)
-        os.replace(tmp, path)
+    from sml_tpu.utils.results import record as _rec
+    _rec(os.path.join(root, "results.json"), key, value)
     log(f"recorded {key}")
 
 

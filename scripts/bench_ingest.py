@@ -40,7 +40,7 @@ def synth_log(path: str, n: int, n_users: int, n_items: int, seed: int = 7):
     times = np.sort(rng.integers(1_500_000_000, 1_600_000_000, size=n))
     t0 = time.time()
     arr = np.stack([users, items, times], axis=1)
-    # fast CSV writer: bytes join beats np.savetxt ~10x
+    # benchmark SETUP only (not measured): np.savetxt is slow but simple
     with open(path, "w") as fh:
         fh.write("user,item,ts\n")
         np.savetxt(fh, arr, fmt="%d", delimiter=",")

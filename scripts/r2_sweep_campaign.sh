@@ -12,7 +12,7 @@ cd /root/repo
 
 log() { echo "[campaign $(date +%H:%M:%S)] $*"; }
 
-if [ ! -f "$ROOT/synth/period_00.npz" ] && [ ! -d "$ROOT/synth" ]; then
+if [ ! -f "$ROOT/synth/information.npy" ]; then
   log "gen"
   timeout 1200 python scripts/yelp_scale_sweep.py --phase gen --root "$ROOT" || exit 1
 fi

@@ -202,10 +202,13 @@ def phase_reference(args):
         with torch.no_grad():
             theta_norm = float(torch.sqrt(sum(
                 p.pow(2).sum() for p in model.transfer.parameters())))
+            # mean SQUARED per-row norm — the same statistic
+            # SMLEngine.diagnostics records, so the fall-in/wipe
+            # thresholds are comparable across frameworks
             item_norm = float(
-                model.MFbase.item_laten.weight.norm(dim=-1).mean())
+                model.MFbase.item_laten.weight.pow(2).sum(-1).mean())
             user_norm = float(
-                model.MFbase.user_laten.weight.norm(dim=-1).mean())
+                model.MFbase.user_laten.weight.pow(2).sum(-1).mean())
         runs.append({
             "seed": seed, "inner_losses": mf_losses,
             "theta_norm_final": round(theta_norm, 3),
@@ -219,14 +222,8 @@ def phase_reference(args):
 
 
 def _record(root, key, value):
-    path = os.path.join(root, "saddle.json")
-    data = {}
-    if os.path.exists(path):
-        data = json.load(open(path))
-    data[key] = value
-    tmp = path + ".tmp"
-    json.dump(data, open(tmp, "w"), indent=1)
-    os.replace(tmp, path)
+    from sml_tpu.utils.results import record as _rec
+    _rec(os.path.join(root, "saddle.json"), key, value)
 
 
 def main():

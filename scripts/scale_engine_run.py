@@ -160,13 +160,8 @@ def main():
     }
     print(json.dumps(res))
     if args.out:
-        data = {}
-        if os.path.exists(args.out):
-            data = json.load(open(args.out))
-        data[args.key] = res
-        tmp = args.out + ".tmp"
-        json.dump(data, open(tmp, "w"), indent=1)
-        os.replace(tmp, args.out)
+        from sml_tpu.utils.results import record
+        record(args.out, args.key, res)
 
 
 if __name__ == "__main__":

@@ -42,23 +42,10 @@ def log(*a):
 
 
 def record(root, key, value):
-    """Merge one phase's result into results.json under an exclusive lock
-    (phases run as concurrent processes) and replace atomically."""
-    import fcntl
-
-    path = os.path.join(root, "results.json")
-    lock_path = path + ".lock"
-    with open(lock_path, "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        data = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                data = json.load(fh)
-        data[key] = value
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(data, fh, indent=2)
-        os.replace(tmp, path)
+    """Merge one phase's result into results.json (locked: phases run as
+    concurrent processes)."""
+    from sml_tpu.utils.results import record as _rec
+    _rec(os.path.join(root, "results.json"), key, value)
     log(f"recorded {key}")
 
 

@@ -106,10 +106,33 @@ def cmd_sml(args) -> int:
             item_emb=jnp.asarray(blob["item_emb"]),
             user_bias=jnp.asarray(blob["user_bias"]),
             item_bias=jnp.asarray(blob["item_bias"]))
-    state = engine.init_state(pretrained_mf=pretrained)
+    # Decide resume BEFORE init_state: (a) skip the theta warm-start whose
+    # result restore_checkpoint would overwrite, (b) under multi-process,
+    # every process must agree on the resume period or the SPMD programs
+    # diverge and the first collective hangs — require a shared checkpoint
+    # dir and verify agreement instead of hanging.
+    resume_step = None
+    if args.checkpoint_dir:
+        resume_step = latest_step(args.checkpoint_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+            local = -1 if resume_step is None else int(resume_step)
+            steps = _np.asarray(
+                multihost_utils.process_allgather(_np.int64(local)))
+            if len(set(steps.tolist())) != 1:
+                raise RuntimeError(
+                    "checkpoint resume disagrees across processes "
+                    f"(latest steps per process: {steps.tolist()}); "
+                    "--checkpoint-dir must be shared storage visible to "
+                    "every host")
+
+    state = engine.init_state(
+        pretrained_mf=pretrained,
+        skip_theta_warmstart=resume_step is not None)
 
     start = 0
-    if args.checkpoint_dir and latest_step(args.checkpoint_dir) is not None:
+    if resume_step is not None:
         state, start, _ = restore_checkpoint(args.checkpoint_dir, state)
         start += 1
         if main_proc:

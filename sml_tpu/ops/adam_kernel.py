@@ -42,9 +42,26 @@ def _kernel(bc_ref, p_ref, mu_ref, nu_ref, op_ref, omu_ref, onu_ref,
     onu_ref[:] = nu
 
 
-def decay_adam_supported(arr: jax.Array) -> bool:
+def _best_block(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= ``target`` (bounded scan).
+
+    The grid must divide the lane-row count exactly (ragged final blocks
+    interact badly with input/output aliasing), but a pure halving search
+    collapses for row counts with small power-of-two factors — e.g. the 5M
+    users x d=64 table is 2.5M = 32*5^7 lane-rows, whose best power-of-two
+    block is 32 rows (16 KB tiles, an 80k-step grid) while 4000 divides it
+    exactly. Scanning down from the target finds such divisors cheaply."""
+    cap = min(target, n)
+    for b in range(cap, max(cap - 8192, 0), -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def decay_adam_supported(arr: jax.Array, block_rows: int = 4096) -> bool:
     return (arr.dtype == jnp.float32 and arr.size >= MIN_ELEMS
-            and arr.size % LANES == 0)
+            and arr.size % LANES == 0
+            and _best_block(arr.size // LANES, block_rows) >= 256)
 
 
 @functools.partial(jax.jit,
@@ -65,9 +82,7 @@ def fused_decay_adam(p: jax.Array, mu: jax.Array, nu: jax.Array,
     muv = mu.reshape(-1, LANES)
     nuv = nu.reshape(-1, LANES)
     n = pv.shape[0]
-    block = min(block_rows, n)
-    while n % block:
-        block //= 2
+    block = _best_block(n, block_rows)
     grid = (n // block,)
     row_spec = pl.BlockSpec((block, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

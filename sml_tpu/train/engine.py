@@ -82,11 +82,16 @@ class SMLEngine:
         self.placement = None
 
     # ------------------------------------------------------------------ state
-    def init_state(self, pretrained_mf: Optional[MFParams] = None) -> SMLState:
+    def init_state(self, pretrained_mf: Optional[MFParams] = None,
+                   skip_theta_warmstart: bool = False) -> SMLState:
         """Fresh state. ``last`` starts at zeros, ``hat`` at the (pretrained)
         tables (``model/transfer.py:358-364``); the zero ``last`` is never
         consumed because every period snapshots ``last`` first
-        (``transfer.py:766``)."""
+        (``transfer.py:766``).
+
+        ``skip_theta_warmstart`` elides the identity warm-start when the
+        caller is about to overwrite the state anyway (checkpoint resume).
+        """
         key = jax.random.PRNGKey(self.cfg.seed)
         kmf, ktr, krun = jax.random.split(key, 3)
         if pretrained_mf is not None:
@@ -99,8 +104,10 @@ class SMLEngine:
                          emb_scale=self.cfg.emb_init_scale)
         theta = init_transfer(ktr, self.cfg.transfer)
         if self.cfg.theta_warmstart_steps > 0:
+            # split even when skipping so the run key stream is identical
             kws, krun = jax.random.split(krun)
-            theta = self._theta_warmstart(theta, mf, kws)
+            if not skip_theta_warmstart:
+                theta = self._theta_warmstart(theta, mf, kws)
         sdt = jnp.dtype(self.cfg.snapshot_dtype)
         return SMLState(
             mf=mf,

@@ -9,7 +9,22 @@ from sml_tpu.ops.adam_kernel import fused_decay_adam
 from sml_tpu.train.optim import ADAM_B1, ADAM_B2, ADAM_EPS
 
 
-@pytest.mark.parametrize("shape", [(2048, 64), (1000 * 128,), (4096, 96)])
+def test_best_block_production_shape():
+    from sml_tpu.ops.adam_kernel import _best_block
+    # 5M users x d=64 -> 2.5M lane-rows; divisor search must find a
+    # near-target block, not the 32-row power-of-two floor
+    assert _best_block(2_500_000, 4096) == 4000
+    assert _best_block(625, 512) == 125
+    assert _best_block(677, 512) == 1
+
+
+@pytest.mark.parametrize("shape", [
+    (2048, 64), (1000 * 128,), (4096, 96),
+    # awkward row counts: 1250x64 -> 625 = 5^4 lane-rows (no power-of-two
+    # divisor near 512; divisor search must find 125), 677 prime lane-rows
+    # (degenerate block=1 must still be correct)
+    (1250, 64), (677 * 128,),
+])
 def test_fused_decay_matches_xla(rng, shape):
     from jax.experimental.pallas import tpu as pltpu
 

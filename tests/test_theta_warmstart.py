@@ -77,3 +77,20 @@ def test_warmstart_changes_only_theta(rng):
     d = max(float(jnp.max(jnp.abs(a - b))) for a, b in
             zip(jax.tree.leaves(s0.theta), jax.tree.leaves(s1.theta)))
     assert d > 1e-3
+
+
+def test_skip_warmstart_on_resume(rng):
+    """Checkpoint resume passes skip_theta_warmstart=True: the expensive
+    identity fit is elided (theta stays at cold init) but the run key
+    stream is unchanged, so the restored state's trajectory is identical."""
+    pre = _pretrained(rng)
+    eng = SMLEngine(_cfg(100), N_USERS, N_ITEMS)
+    warm = eng.init_state(pretrained_mf=pre)
+    skipped = eng.init_state(pretrained_mf=pre, skip_theta_warmstart=True)
+    cold = SMLEngine(_cfg(0), N_USERS, N_ITEMS).init_state(pretrained_mf=pre)
+    # skipping leaves theta at the cold init value
+    for a, b in zip(jax.tree.leaves(skipped.theta), jax.tree.leaves(cold.theta)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # but the run key stream matches the warm-started engine's
+    np.testing.assert_array_equal(np.asarray(skipped.key),
+                                  np.asarray(warm.key))
