@@ -124,6 +124,13 @@ class SMLConfig:
     # loss used inside run_MF: the live default is BCE (conv_transfer.py:114)
     use_bce: bool = True
 
+    # deterministic replay: epoch rows are explicit (user, item, neg)
+    # triples consumed verbatim in order — no shuffle, no column draw, no
+    # negative sampling. Used by the lockstep parity harness
+    # (scripts/lockstep_parity.py) to drive this engine with a batch stream
+    # recorded from another framework, and for bit-reproducing a run.
+    replay_mode: bool = False
+
     # Background-thread prefetch of the next period's files + pools while
     # the device trains the current period (the TPU analogue of the
     # reference's unused CUDA-stream prefetcher, dataset2.py:11-48).

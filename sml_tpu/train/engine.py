@@ -167,14 +167,16 @@ class SMLEngine:
     def prep_inner(self, set_t: np.ndarray):
         padded = pad_rows(set_t, self.cfg.mf_batch_size)
         index = (build_period_index(set_t, self.n_items)
-                 if self.cfg.mf_sample == "alone" else None)
+                 if self.cfg.mf_sample == "alone"
+                 and not self.cfg.replay_mode else None)
         self._probe_sampler("inner", index, set_t)
         return self._place(padded, index)
 
     def prep_outer(self, set_tt: np.ndarray):
         padded = pad_rows(set_tt, self.cfg.tr_batch_size)
         index = (build_period_index(set_tt, self.n_items)
-                 if self.cfg.tr_sample_type == "alone" else None)
+                 if self.cfg.tr_sample_type == "alone"
+                 and not self.cfg.replay_mode else None)
         self._probe_sampler("outer", index, set_tt)
         return self._place(padded, index)
 

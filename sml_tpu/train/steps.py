@@ -36,11 +36,14 @@ from sml_tpu.ops.sampling import PeriodIndex, sample_negatives
 from sml_tpu.train.optim import TableGrad, sparse_dense_adam_update
 
 
-def scan_epoch(carry, rows, mask, n_real, key, batch_size, step_fn):
+def scan_epoch(carry, rows, mask, n_real, key, batch_size, step_fn,
+               shuffle=True):
     """Shuffle + scan one epoch. ``step_fn(carry, rows_b, mask_b, key) ->
-    (carry, loss)``; tail batches beyond ``ceil(n_real/B)`` are skipped."""
+    (carry, loss)``; tail batches beyond ``ceil(n_real/B)`` are skipped.
+    ``shuffle=False`` (replay mode) consumes rows in their given order."""
     kshuf, kscan = jax.random.split(key)
-    rows, mask = shuffle_real_first(kshuf, rows, mask)
+    if shuffle:
+        rows, mask = shuffle_real_first(kshuf, rows, mask)
     nb_max = rows.shape[0] // batch_size
     nb_real = num_batches(n_real, batch_size)
     keys = jax.random.split(kscan, nb_max)
@@ -114,7 +117,7 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
     """
     tcfg = cfg.transfer
     batch = cfg.mf_batch_size
-    mode = cfg.mf_sample
+    mode = "replay" if cfg.replay_mode else cfg.mf_sample
 
     def row_loss(xu, xi, xj, theta, lu, li, lj, m):
         loss = transferred_pair_loss(theta, tcfg, lu, li, lj,
@@ -135,7 +138,7 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
         def step(c, r, m, k):
             mfp, opt = c
             u, i = r[:, 0], r[:, 1]
-            if mode == "all":
+            if mode in ("all", "replay"):
                 j = r[:, 2]
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
@@ -164,7 +167,8 @@ def make_inner_epoch(cfg: SMLConfig, mf_tx: optax.GradientTransformation):
             return (mfp, opt), loss
 
         (mfp, opt), losses = scan_epoch((mfp, opt), rows, mask, n_real,
-                                        krest, batch, step)
+                                        krest, batch, step,
+                                        shuffle=mode != "replay")
         return mfp, opt, losses
 
     return epoch
@@ -174,7 +178,7 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
     """Outer (transfer) epoch; trains Θ on detached snapshot lookups."""
     tcfg = cfg.transfer
     batch = cfg.tr_batch_size
-    mode = cfg.tr_sample_type
+    mode = "replay" if cfg.replay_mode else cfg.tr_sample_type
 
     def loss_fn(theta, last_u, last_i, hat_u, hat_i, u, i, j, m):
         return transferred_pair_loss(
@@ -189,7 +193,7 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
         def step(c, r, m, k):
             theta, opt = c
             u, i = r[:, 0], r[:, 1]
-            if mode == "all":
+            if mode in ("all", "replay"):
                 j = r[:, 2]
             else:
                 j = sample_negatives(index, u, k, cfg.neg_tries)
@@ -200,7 +204,8 @@ def make_outer_epoch(cfg: SMLConfig, tr_tx: optax.GradientTransformation):
             return (theta, opt), loss
 
         (theta, opt), losses = scan_epoch((theta, opt), rows, mask, n_real,
-                                          krest, batch, step)
+                                          krest, batch, step,
+                                          shuffle=mode != "replay")
         return theta, opt, losses
 
     return epoch
