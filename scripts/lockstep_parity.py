@@ -86,24 +86,34 @@ def make_pretrained(rng):
 
 def theta_from_torch(transfer):
     """torch ConvTransfer_com -> our TransferParams (layout mapping is the
-    inverse of tests/test_torch_golden.py::_torch_tower)."""
+    inverse of tests/test_torch_golden.py::_torch_tower).
+
+    Every tensor goes through ``np.array(..., copy=True)``: on CPU
+    ``jnp.asarray`` may zero-copy alias the torch storage, and torch's
+    in-place Adam updates would then silently mutate the captured "init"
+    (this exact bug produced a phantom d_theta=0.35 at refresh 0 in the
+    first lockstep run — the transposed fc weights, which forced copies,
+    matched exactly while every aliased leaf tracked torch's training).
+    """
     import jax.numpy as jnp
     from sml_tpu.models.transfer import TransferParams, ConvTower
+
+    def arr(t):
+        return np.array(t.detach().numpy(), copy=True)
 
     def tower(t):
         return ConvTower(
             conv1_w=jnp.asarray(
-                t.conv1.weight.detach().numpy().reshape(
-                    t.conv1.weight.shape[0], 3)),
-            conv1_b=jnp.asarray(t.conv1.bias.detach().numpy()),
+                arr(t.conv1.weight).reshape(t.conv1.weight.shape[0], 3)),
+            conv1_b=jnp.asarray(arr(t.conv1.bias)),
             conv2_w=jnp.asarray(
-                t.conv2.weight.detach().numpy().reshape(
+                arr(t.conv2.weight).reshape(
                     t.conv2.weight.shape[0], t.conv2.weight.shape[1])),
-            conv2_b=jnp.asarray(t.conv2.bias.detach().numpy()),
-            fc1_w=jnp.asarray(t.fc1.weight.detach().numpy().T),
-            fc1_b=jnp.asarray(t.fc1.bias.detach().numpy()),
-            fc2_w=jnp.asarray(t.fc2.weight.detach().numpy().T),
-            fc2_b=jnp.asarray(t.fc2.bias.detach().numpy()),
+            conv2_b=jnp.asarray(arr(t.conv2.bias)),
+            fc1_w=jnp.asarray(arr(t.fc1.weight).T),
+            fc1_b=jnp.asarray(arr(t.fc1.bias)),
+            fc2_w=jnp.asarray(arr(t.fc2.weight).T),
+            fc2_b=jnp.asarray(arr(t.fc2.bias)),
         )
 
     return TransferParams(user=tower(transfer.user_transfer),
