@@ -187,7 +187,9 @@ def main():
     dspec, params = shared_pretrain(args.root, pvr)
 
     for seed in parse_seeds(args.seeds):
-        key = f"{args.phase}_seed{seed}"
+        key = (f"ours_ws{args.warmstart}_seed{seed}"
+               if args.phase == "ours_ws" and args.warmstart != 400
+               else f"{args.phase}_seed{seed}")
         done = json.load(open(res_path)) if os.path.exists(res_path) else {}
         if key in done:
             log("skip", key)

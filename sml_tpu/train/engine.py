@@ -126,7 +126,13 @@ class SMLEngine:
         """Fit Θ_side(x, x) ≈ x on pretrained-table rows (see
         ``SMLConfig.theta_warmstart_steps``). At every period start
         ``last == current tables``, so the identity is the value-preserving
-        point of the refresh ``updata`` (``transfer.py:884-902``)."""
+        point of the refresh ``updata`` (``transfer.py:884-902``).
+
+        Off by default: the medium-scale seed study (seedvar_r2.json)
+        found it trades ~9% of mean recall@20 for the variance it removes
+        (ws400 mean 0.2246/std 0.0054 vs no-ws 0.2469/std 0.0154, ref
+        0.2429/std 0.0161) — plain SML already matches the reference's
+        seed spread, so the stabilizer is net-negative on quality."""
         cfg = self.cfg
         tx = torch_adam(cfg.theta_warmstart_lr)
         n_rows = cfg.theta_warmstart_rows
