@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--eval-rows", type=int, default=4096)
     ap.add_argument("--neg", type=int, default=999)
     ap.add_argument("--snapshot-dtype", default="float32")
+    ap.add_argument("--latent", type=int, default=64,
+                    help="reduced-memory form for host-RAM-bound virtual-"
+                         "mesh runs (the 50M/5M f32 state at d=64 is "
+                         "~56 GB and OOMs a 125 GB host with transients)")
     ap.add_argument("--devices", type=int, default=0,
                     help="row-shard tables over an N-device mesh")
     ap.add_argument("--platform", default=None)
@@ -68,8 +72,8 @@ def main():
         f"snap={args.snapshot_dtype} devices={args.devices or 1}")
 
     cfg = SMLConfig(mf_batch_size=args.batch, tr_batch_size=args.batch,
-                    eval_batch_size=1024, latent_dim=64, multi_num=1,
-                    transfer=TransferConfig(latent_dim=64),
+                    eval_batch_size=1024, latent_dim=args.latent, multi_num=1,
+                    transfer=TransferConfig(latent_dim=args.latent),
                     mf_sample="alone", tr_sample_type="alone",
                     snapshot_dtype=args.snapshot_dtype)
     engine = SMLEngine(cfg, U, I)
@@ -139,7 +143,7 @@ def main():
     inner_s = times["inner"][-1]
     res = {
         "backend": jax.default_backend(),
-        "users": U, "items": I, "latent": 64,
+        "users": U, "items": I, "latent": args.latent,
         "snapshot_dtype": args.snapshot_dtype,
         "devices": args.devices or 1,
         "interactions_per_epoch": int(set_t.shape[0]),
