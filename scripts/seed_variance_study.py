@@ -148,7 +148,29 @@ def main():
     ap.add_argument("--seeds", default="2000-2007")
     ap.add_argument("--warmstart", type=int, default=400)
     ap.add_argument("--out", default=None)
+    # protocol-knob overrides for bisecting WHICH knob separates the
+    # medium protocol (parity at n=8) from the Yelp-scale one: each flag
+    # moves one constant toward the Yelp value (periods 40/10/30,
+    # multi 10, latent 64, neg 999, 31k/21k/30k size)
+    ap.add_argument("--periods", type=int, default=None)
+    ap.add_argument("--multi", type=int, default=None)
+    ap.add_argument("--latent", type=int, default=None)
+    ap.add_argument("--neg", type=int, default=None)
+    ap.add_argument("--users", type=int, default=None)
+    ap.add_argument("--items", type=int, default=None)
+    ap.add_argument("--inter", type=int, default=None)
+    ap.add_argument("--train-start", type=int, default=None)
+    ap.add_argument("--test-start", type=int, default=None)
     args = ap.parse_args()
+    g = globals()
+    for flag, const in [("periods", "N_PERIODS"), ("multi", "MULTI"),
+                        ("latent", "LATENT"), ("neg", "NEG"),
+                        ("users", "USERS"), ("items", "ITEMS"),
+                        ("inter", "INTER"), ("train_start", "TRAIN_START"),
+                        ("test_start", "TEST_START")]:
+        v = getattr(args, flag)
+        if v is not None:
+            g[const] = v
     os.makedirs(args.root, exist_ok=True)
     res_path = os.path.join(args.root, "results.json")
 
