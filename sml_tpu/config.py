@@ -185,6 +185,13 @@ class SMLConfig:
     log_norms: bool = False
 
     seed: int = 2000
+    # Variance-ablation knob: when set, Θ's init key is PRNGKey(theta_seed)
+    # instead of a split of PRNGKey(seed), decoupling the two randomness
+    # sources a run consumes (Θ init vs the shuffle/negative-sampling
+    # stream). Varying one while freezing the other localizes which source
+    # drives run-to-run metric spread (scripts/yelp_scale_sweep.py
+    # --theta-seed). None = reference-like single seed.
+    theta_seed: Optional[int] = None
 
     # θ identity warm-start (new-design stabilizer, OFF for strict reference
     # parity): before the sweep, fit Θ_side(x, x) ≈ x by Adam on rows drawn

@@ -102,6 +102,8 @@ class SMLEngine:
             mf = init_mf(kmf, self.n_users, self.n_items,
                          self.cfg.latent_dim,
                          emb_scale=self.cfg.emb_init_scale)
+        if self.cfg.theta_seed is not None:
+            ktr = jax.random.PRNGKey(self.cfg.theta_seed)
         theta = init_transfer(ktr, self.cfg.transfer)
         if self.cfg.theta_warmstart_steps > 0:
             # split even when skipping so the run key stream is identical
