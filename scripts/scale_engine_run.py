@@ -80,13 +80,14 @@ def main():
     log(f"fast_table_adam={engine.cfg.fast_table_adam}")
 
     t0 = time.time()
-    state = engine.init_state()
     if args.devices:
-        from sml_tpu.parallel.sharding import make_mesh, shard_state
+        from sml_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(1, args.devices)
-        state = shard_state(state, mesh, U, I)
+        state = engine.init_state_sharded(mesh)
         log(f"mesh={dict(mesh.shape)} "
             f"user shard={state.mf.user_emb.sharding.spec}")
+    else:
+        state = engine.init_state()
     jax.block_until_ready(state.mf.user_emb)
     log(f"state init {time.time()-t0:.1f}s")
 

@@ -58,6 +58,24 @@ def shard_state(state, mesh: Mesh, n_users: int, n_items: int):
     return jax.tree.map(place, state)
 
 
+def state_shardings(tree, mesh: Mesh, n_users: int, n_items: int):
+    """Sharding pytree for a state pytree (or its ``jax.eval_shape``
+    result), under the same placement rule as :func:`shard_state`: rows
+    aligned with a table axis go ``P('model')``, everything else
+    replicated. Used as ``out_shardings`` so huge states can be created
+    born-sharded instead of materialized unsharded and re-placed."""
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("model"))
+
+    def spec(x):
+        if len(x.shape) >= 1 and x.shape[0] in (n_users, n_items) \
+                and x.shape[0] % mesh.shape["model"] == 0:
+            return row
+        return repl
+
+    return jax.tree.map(spec, tree)
+
+
 def shard_batch(padded, mesh: Mesh):
     """Shard padded epoch rows over the 'data' axis (rows replicated over
     'model')."""

@@ -123,6 +123,79 @@ class SMLEngine:
             key=krun,
         )
 
+    def init_state_sharded(self, mesh, pretrained_mf: Optional[MFParams]
+                           = None, skip_theta_warmstart: bool = False
+                           ) -> SMLState:
+        """:meth:`init_state`, but every leaf is born row-sharded on
+        ``mesh`` — no unsharded materialization.
+
+        At 50M users the f32 state is tens of GB; the
+        ``init_state() + shard_state()`` path transiently holds BOTH the
+        unsharded and the sharded copy (it OOM-killed the 50M/5M d=16
+        virtual-mesh run at 98 GB on a 125 GB host). Here the zero
+        snapshots, Adam moments and fresh tables are allocated by a
+        jitted builder with ``out_shardings``, so each device only ever
+        holds its shard; pretrained tables go host-numpy → row shards
+        directly via ``device_put``.
+
+        Key-stream identical to :meth:`init_state` (same splits in the
+        same order), so sharded and single-device runs stay comparable.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sml_tpu.parallel.sharding import state_shardings
+
+        if pretrained_mf is not None:
+            row = NamedSharding(mesh, P("model"))
+            repl = NamedSharding(mesh, P())
+
+            def place(x):
+                x = np.asarray(x)
+                sh = row if (x.ndim >= 1
+                             and x.shape[0] in (self.n_users, self.n_items)
+                             and x.shape[0] % mesh.shape["model"] == 0) \
+                    else repl
+                return jax.device_put(x, sh)
+
+            mf_in = jax.tree.map(place, pretrained_mf)
+        else:
+            mf_in = None
+
+        def build(mf):
+            key = jax.random.PRNGKey(self.cfg.seed)
+            kmf, ktr, krun = jax.random.split(key, 3)
+            if mf is None:
+                mf = init_mf(kmf, self.n_users, self.n_items,
+                             self.cfg.latent_dim,
+                             emb_scale=self.cfg.emb_init_scale)
+            if self.cfg.theta_seed is not None:
+                ktr = jax.random.PRNGKey(self.cfg.theta_seed)
+            theta = init_transfer(ktr, self.cfg.transfer)
+            if self.cfg.theta_warmstart_steps > 0:
+                _, krun = jax.random.split(krun)
+            sdt = jnp.dtype(self.cfg.snapshot_dtype)
+            return SMLState(
+                mf=mf,
+                theta=theta,
+                last_user=jnp.zeros(mf.user_emb.shape, sdt),
+                last_item=jnp.zeros(mf.item_emb.shape, sdt),
+                hat_user=mf.user_emb.astype(sdt),
+                hat_item=mf.item_emb.astype(sdt),
+                mf_opt=self.mf_tx.init(mf),
+                tr_opt=self.tr_tx.init(theta),
+                key=krun,
+            )
+
+        shapes = jax.eval_shape(build, mf_in)
+        outs = state_shardings(shapes, mesh, self.n_users, self.n_items)
+        state = jax.jit(build, out_shardings=outs)(mf_in)
+        if self.cfg.theta_warmstart_steps > 0 and not skip_theta_warmstart:
+            # same kws derivation as init_state: kws = first split of krun
+            _, _, krun = jax.random.split(jax.random.PRNGKey(self.cfg.seed))
+            kws, _ = jax.random.split(krun)
+            theta = self._theta_warmstart(state.theta, state.mf, kws)
+            state = state._replace(theta=theta)
+        return state
+
     def _theta_warmstart(self, theta: TransferParams, mf: MFParams,
                          key: jax.Array) -> TransferParams:
         """Fit Θ_side(x, x) ≈ x on pretrained-table rows (see

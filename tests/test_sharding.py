@@ -121,3 +121,38 @@ def test_sharded_fast_adam_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(sh_state.mf.user_emb),
                                np.asarray(dense_state.mf.user_emb),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_init_state_sharded_matches_reshard_path(rng):
+    """Born-sharded init == init_state()+shard_state(), leaf for leaf, and
+    the state survives one donated epoch (catches output aliasing between
+    mf tables and same-dtype hat snapshots)."""
+    cfg = _cfg()
+    mesh = make_mesh(1, 8)
+
+    engine = SMLEngine(cfg, N_USERS, N_ITEMS)
+    ref = shard_state(engine.init_state(), mesh, N_USERS, N_ITEMS)
+    born = engine.init_state_sharded(mesh)
+
+    for a, b, path in zip(jax.tree.leaves(ref), jax.tree.leaves(born),
+                          jax.tree_util.tree_leaves_with_path(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path[0]))
+        assert b.sharding == a.sharding, path[0]
+
+    # pretrained path: host numpy goes straight to row shards
+    from sml_tpu.models.mf import init_mf
+    pre = jax.tree.map(np.asarray,
+                       init_mf(jax.random.PRNGKey(5), N_USERS, N_ITEMS, DIM))
+    born2 = engine.init_state_sharded(mesh, pretrained_mf=pre)
+    np.testing.assert_array_equal(np.asarray(born2.mf.user_emb),
+                                  pre.user_emb)
+    assert born2.mf.user_emb.sharding.spec == \
+        jax.sharding.PartitionSpec("model")
+
+    # donated epoch runs (no double-donation of aliased buffers)
+    set_t = _fake_period(rng)
+    padded_t, idx_t = engine.prep_inner(set_t)
+    state = engine.snapshot_last(born2)
+    state, _ = engine.inner_epoch(state, padded_t, idx_t)
+    assert np.isfinite(np.asarray(state.mf.user_emb)).all()
