@@ -79,10 +79,14 @@ class SMLDriver:
                             - spec.online_train_start - 1)
 
     # ------------------------------------------------------------------ phases
-    def _inner_block(self, state: SMLState, set_t: np.ndarray,
-                     epochs: int, val: Optional[np.ndarray]) -> SMLState:
-        """``MF_train_onestage`` (``transfer.py:417-534``)."""
-        padded, index = self.engine.prep_inner(set_t)
+    def _inner_block(self, state: SMLState, prep, epochs: int,
+                     val: Optional[np.ndarray]) -> SMLState:
+        """``MF_train_onestage`` (``transfer.py:417-534``). ``prep`` is the
+        period's ``prep_inner`` result — built ONCE per period and reused
+        across the ``multi_num`` phases (it is a pure function of
+        ``set_t``; re-prepping per phase cost ~0.3 s × multi_num × periods
+        of host time at Yelp scale)."""
+        padded, index = prep
         for e in range(epochs):
             state, losses = self.engine.inner_epoch(state, padded, index)
             if self.cfg.log_norms:
@@ -93,12 +97,13 @@ class SMLDriver:
                 self.logger.log(kind="inner_eval", epoch=e, **_flatten(m))
         return state
 
-    def _outer_block(self, state: SMLState, set_tt: np.ndarray,
+    def _outer_block(self, state: SMLState, prep,
                      val: Optional[np.ndarray]) -> SMLState:
         """``transfer_train_onestage`` (``transfer.py:644-749``), including
         the per-epoch MF refresh of its compute_performance path
-        (``:738-741``)."""
-        padded, index = self.engine.prep_outer(set_tt)
+        (``:738-741``). ``prep`` = the period's ``prep_outer`` result,
+        shared across phases like ``_inner_block``'s."""
+        padded, index = prep
         for e in range(self.cfg.tr_epochs):
             state, losses = self.engine.outer_epoch(state, padded, index)
             if self.cfg.log_norms:
@@ -157,19 +162,23 @@ class SMLDriver:
             val = self.engine.make_eval_set(val)
         sd = sd._replace(val=val)
 
+        prep_t = self.engine.prep_inner(sd.set_t)
+        prep_tt = (self.engine.prep_outer(sd.set_tt)
+                   if sd.set_tt is not None else None)
+
         if sd.now_test is None:
             # branch A: warm-up (transfer.py:772-792)
             for _phase in range(self.cfg.multi_num):
-                state = self._inner_block(state, sd.set_t,
+                state = self._inner_block(state, prep_t,
                                           self.cfg.mf_epochs, sd.val)
                 state = self.engine.snapshot_hat(state)
                 state = self.engine.refresh(state)
-                state = self._outer_block(state, sd.set_tt, sd.val)
+                state = self._outer_block(state, prep_tt, sd.val)
                 self._log_phase(state, d_time, _phase)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)
-            state = self._inner_block(state, sd.set_t,
+            state = self._inner_block(state, prep_t,
                                       self.cfg.mf_epochs_when_tr_stopped,
                                       sd.val)
             state = self.engine.snapshot_hat(state)
@@ -178,13 +187,13 @@ class SMLDriver:
         else:
             # branch C: test + keep training Θ (transfer.py:826-881)
             for phase in range(self.cfg.multi_num):
-                state = self._inner_block(state, sd.set_t,
+                state = self._inner_block(state, prep_t,
                                           self.cfg.mf_epochs, sd.val)
                 state = self.engine.snapshot_hat(state)
                 state = self.engine.refresh(state)
                 if phase == 0:
                     self._record_test(state, sd.now_test, d_time)
-                state = self._outer_block(state, sd.set_tt, sd.val)
+                state = self._outer_block(state, prep_tt, sd.val)
                 self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 
