@@ -365,3 +365,33 @@ def apply_tables(theta: TransferParams, cfg: TransferConfig,
 
     return blocked("user", last_user, hat_user), \
         blocked("item", last_item, hat_item)
+
+
+def apply_tables_sharded(theta: TransferParams, cfg: TransferConfig,
+                         last_user: jax.Array, hat_user: jax.Array,
+                         last_item: jax.Array, hat_item: jax.Array,
+                         mesh, block_rows: int = 65536,
+                         use_pallas: str = "auto"):
+    """:func:`apply_tables` for row-sharded tables: each shard refreshes
+    its own rows under ``shard_map``, zero collectives.
+
+    Needed because the blocked fallback's ``reshape(-1, block_rows, d)``
+    produces a block count GSPMD can't keep row-sharded, so under plain
+    jit it ALL-GATHERS both full tables per refresh — at 50M users that is
+    tens of GB per device (OOM-killed the virtual-mesh scale run twice).
+    The refresh is embarrassingly row-parallel; ``shard_map`` states that.
+    On a real TPU mesh each shard still dispatches to the fused Pallas
+    kernel (``use_pallas`` is passed through).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def fn(th, lu, hu, li, hi):
+        return apply_tables(th, cfg, lu, hu, li, hi,
+                            block_rows=block_rows, use_pallas=use_pallas)
+
+    row = P("model")
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(), row, row, row, row),
+                     out_specs=(row, row))(
+        theta, last_user, hat_user, last_item, hat_item)

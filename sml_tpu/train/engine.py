@@ -73,6 +73,9 @@ class SMLEngine:
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
         self._refresh = jax.jit(functools.partial(
             transfer_mod.apply_tables, cfg=cfg.transfer))
+        # row-sharded tables: set_mesh() swaps in the shard_map refresh
+        # (keeps every row local; the plain blocked path all-gathers)
+        self.mesh = None
         # latest sampler quality probe per block kind (log_norms diagnostics)
         self.sampler_stats: Dict[str, float] = {}
         # optional multi-host placement strategy
@@ -122,6 +125,18 @@ class SMLEngine:
             tr_opt=self.tr_tx.init(theta),
             key=krun,
         )
+
+    def set_mesh(self, mesh) -> None:
+        """Tell the engine its tables are row-sharded over ``mesh``'s
+        'model' axis: the full-table refresh switches to the shard_map
+        path (:func:`sml_tpu.models.transfer.apply_tables_sharded`).
+        The epoch/eval functions need no change — their gathers/scatters
+        stay efficient under GSPMD."""
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            self._refresh = jax.jit(functools.partial(
+                transfer_mod.apply_tables_sharded, cfg=self.cfg.transfer,
+                mesh=mesh))
 
     def init_state_sharded(self, mesh, pretrained_mf: Optional[MFParams]
                            = None, skip_theta_warmstart: bool = False
@@ -188,6 +203,7 @@ class SMLEngine:
         shapes = jax.eval_shape(build, mf_in)
         outs = state_shardings(shapes, mesh, self.n_users, self.n_items)
         state = jax.jit(build, out_shardings=outs)(mf_in)
+        self.set_mesh(mesh)
         if self.cfg.theta_warmstart_steps > 0 and not skip_theta_warmstart:
             # same kws derivation as init_state: kws = first split of krun
             _, _, krun = jax.random.split(jax.random.PRNGKey(self.cfg.seed))

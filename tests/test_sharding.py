@@ -156,3 +156,33 @@ def test_init_state_sharded_matches_reshard_path(rng):
     state = engine.snapshot_last(born2)
     state, _ = engine.inner_epoch(state, padded_t, idx_t)
     assert np.isfinite(np.asarray(state.mf.user_emb)).all()
+
+
+def test_shard_map_refresh_matches_plain():
+    """set_mesh swaps the refresh to the shard_map row-local path; values
+    must match the plain jit refresh (which may all-gather) exactly."""
+    cfg = _cfg()
+    mesh = make_mesh(1, 8)
+
+    engine = SMLEngine(cfg, N_USERS, N_ITEMS)
+    plain = engine.init_state()
+    plain = engine.snapshot_last(plain)
+    plain = engine.snapshot_hat(plain)
+    ref = engine.refresh(plain)
+
+    engine2 = SMLEngine(cfg, N_USERS, N_ITEMS)
+    st = engine2.init_state_sharded(mesh)   # also calls set_mesh
+    assert engine2.mesh is mesh
+    st = engine2.snapshot_last(st)
+    st = engine2.snapshot_hat(st)
+    out = engine2.refresh(st)
+
+    np.testing.assert_allclose(np.asarray(out.mf.user_emb),
+                               np.asarray(ref.mf.user_emb),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.mf.item_emb),
+                               np.asarray(ref.mf.item_emb),
+                               rtol=1e-6, atol=1e-6)
+    # rows stayed sharded
+    assert out.mf.user_emb.sharding.spec == \
+        jax.sharding.PartitionSpec("model")
