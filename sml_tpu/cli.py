@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 from sml_tpu import config as C
@@ -312,10 +313,15 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon environment pins "
                         "JAX_PLATFORMS; this overrides it pre-init)")
-    p.add_argument("--compile-cache", default=None, metavar="DIR",
-                   help="persistent XLA compilation cache directory; "
-                        "repeat runs skip the one-time compiles (the first "
-                        "Yelp sweep spends ~45%% of one period compiling)")
+    p.add_argument("--compile-cache", metavar="DIR",
+                   default=os.environ.get(
+                       "SML_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/sml_tpu/xla")),
+                   help="persistent XLA compilation cache directory "
+                        "(default %(default)s; 'off' disables). A cold "
+                        "Yelp-scale sweep spends ~85%% of its wall-clock "
+                        "compiling the ~10 shape buckets; warm runs take "
+                        "~95 s vs ~450 s cold on one v5e chip")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator host:port "
                         "(jax.distributed). On TPU pods omit all three "
@@ -444,12 +450,16 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    if args.compile_cache:
-        import os
+    if args.compile_cache and args.compile_cache != "off":
         import jax
-        os.makedirs(args.compile_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        try:
+            os.makedirs(args.compile_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir",
+                              args.compile_cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except OSError as e:  # unwritable cache dir must never kill a run
+            print(f"compile cache disabled: {e}", file=sys.stderr)
     if args.coordinator:
         from sml_tpu.parallel.multihost import init_distributed
         init_distributed(args.coordinator, args.num_processes,
