@@ -82,7 +82,8 @@ def probe_ours(args):
                     transfer=TransferConfig(latent_dim=LATENT),
                     mf_batch_size=1024, tr_batch_size=256,
                     eval_batch_size=1024, mf_sample="all",
-                    tr_sample_type="alone", seed=args.seed, log_norms=True)
+                    tr_sample_type="alone", seed=args.seed, log_norms=True,
+                    eval_during_inner=args.evals)
     dspec = DataSpec(root=args.root, name="synth", num_periods=N_PERIODS,
                      online_train_start=TRAIN_START,
                      online_test_start=TEST_START, eval_neg_num=NEG)
@@ -93,20 +94,34 @@ def probe_ours(args):
     driver.run(state, max_periods=args.periods)
     total = time.time() - t0
 
-    inner, outer = [], []
+    inner, outer, inner_recall = [], [], []
     with open(tmp) as fh:
         for line in fh:
             row = json.loads(line)
             if row.get("kind") == "phase":
                 inner.append(round(row["inner_loss"], 4))
                 outer.append(round(row["outer_loss"], 4))
+            elif row.get("kind") == "inner_eval":
+                inner_recall.append(round(row["recall@20"], 4))
     os.unlink(tmp)
     return {"side": "ours", "seed": args.seed, "periods": args.periods,
             "seconds": round(total, 1),
             "inner_loss": inner, "outer_loss": outer,
-            "outer_last": outer[-1] if outer else None}
+            "inner_val_recall": inner_recall,
+            "outer_last": outer[-1] if outer else None,
+            "val_recall_last": (inner_recall[-1] if inner_recall else None)}
 
 
+# with val (the warm-up branch): "MF-stage: 0 epoch: 0 loss:0.00140
+# recall:0.0512 ndcg:0.0312" (transfer.py:519 — loss printed as
+# mean-BCE/batch_size at 5 decimals, too coarse alone, so ALSO take the
+# 4-decimal val recall printed right after it)
+_MF_VAL_RE = re.compile(r"MF-stage:\s*(\d+)\s*epoch:\s*(\d+)\s*"
+                        r"loss:([0-9.eE+-]+)\s*recall:([0-9.]+)")
+# TR val-branch line (transfer.py:745): fullwidth punctuation + typos as-is
+_TR_VAL_RE = re.compile(r"stage:(\d+), epcoh：(\d+)，loss:([0-9.eE+-]+),"
+                        r"\*+val result\s+reacll:([0-9.]+)")
+# no-val fallbacks (transfer.py:525, :747)
 _MF_RE = re.compile(r"MF-stage:\s*(\d+)\s*epoch:\s*(\d+)\s*loss:\s*([0-9.eE+-]+)")
 _TR_RE = re.compile(
     r"stage:\s*(\d+)\s*epoch:\s*(\d+)\s*transfer train loss:\s*([0-9.eE+-]+)")
@@ -179,12 +194,25 @@ def probe_reference(args):
     os.unlink(pre_path)
 
     text = sink.getvalue()
-    inner = [round(float(m.group(3)), 4) for m in _MF_RE.finditer(text)]
-    outer = [round(float(m.group(3)), 4) for m in _TR_RE.finditer(text)]
+    mf_val = _MF_VAL_RE.findall(text)
+    tr_val = _TR_VAL_RE.findall(text)
+    if mf_val:
+        # reference prints mean-BCE/batch_size: rescale to our per-example
+        # convention (transfer.py:514-515, 728-729)
+        inner = [round(float(m[2]) * 1024, 4) for m in mf_val]
+        outer = [round(float(m[2]) * 256, 4) for m in tr_val]
+        inner_recall = [float(m[3]) for m in mf_val]
+        outer_recall = [float(m[3]) for m in tr_val]
+    else:
+        inner = [round(float(m[2]) * 1024, 4) for m in _MF_RE.findall(text)]
+        outer = [round(float(m[2]) * 256, 4) for m in _TR_RE.findall(text)]
+        inner_recall, outer_recall = [], []
     return {"side": "reference", "seed": args.seed, "periods": args.periods,
             "seconds": round(total, 1),
             "inner_loss": inner, "outer_loss": outer,
-            "outer_last": outer[-1] if outer else None}
+            "inner_val_recall": inner_recall, "outer_val_recall": outer_recall,
+            "outer_last": outer[-1] if outer else None,
+            "val_recall_last": (inner_recall[-1] if inner_recall else None)}
 
 
 def main():
@@ -193,6 +221,10 @@ def main():
     ap.add_argument("--root", required=True)
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--periods", type=int, default=1)
+    ap.add_argument("--evals", action="store_true",
+                    help="ours: log the per-inner-epoch val recall@20 "
+                         "trajectory (matches the reference's always-on "
+                         "val prints for cross-side comparison)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--key", default=None)
     args = ap.parse_args()

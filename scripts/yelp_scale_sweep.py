@@ -125,7 +125,8 @@ def phase_ours(args):
                     eval_during_inner=args.evals, eval_during_outer=args.evals,
                     log_norms=bool(args.log),
                     theta_warmstart_steps=args.warmstart,
-                    theta_seed=args.theta_seed)
+                    theta_seed=args.theta_seed,
+                    saddle_retries=args.saddle_retries)
     dspec = dspec_for(args.root)
     logger = MetricsLogger(args.log) if args.log else None
     driver = SMLDriver(cfg, dspec, logger=logger)
@@ -189,6 +190,9 @@ def main():
                     help="ours: jsonl diagnostics path (enables log_norms)")
     ap.add_argument("--warmstart", type=int, default=0,
                     help="ours: theta_warmstart_steps (saddle stabilizer)")
+    ap.add_argument("--saddle-retries", type=int, default=0,
+                    help="ours: SMLConfig.saddle_retries (first-period "
+                         "bad-stream guard)")
     ap.add_argument("--theta-seed", type=int, default=None,
                     help="ours: freeze theta init to this seed while "
                          "--seed varies the data stream (variance "

@@ -77,6 +77,7 @@ def cmd_sml(args) -> int:
         eval_during_inner=args.eval_during_inner,
         eval_during_outer=args.eval_during_outer,
         theta_warmstart_steps=args.theta_warmstart,
+        saddle_retries=args.saddle_retries,
         snapshot_dtype=args.snapshot_dtype,
         profile_dir=args.profile_dir)
 
@@ -362,6 +363,12 @@ def main(argv=None) -> int:
     ps.add_argument("--emb-init-scale", type=float, default=1.0)
     ps.add_argument("--eval-during-inner", action="store_true")
     ps.add_argument("--eval-during-outer", action="store_true")
+    ps.add_argument("--saddle-retries", type=int, default=0,
+                    help="retry the first online-train period (at most N "
+                         "times, re-folded stream key) when the outer loss "
+                         "stalls near the zero-score BCE saddle — the "
+                         "bad-stream signature behind run-to-run recall "
+                         "spread; 0 = reference-faithful")
     ps.add_argument("--theta-warmstart", type=int, default=0,
                     help="identity warm-start steps for Θ before the sweep "
                          "(saddle stabilizer; 400 recommended at d=64, 0 = "

@@ -207,6 +207,22 @@ class SMLConfig:
     theta_warmstart_rows: int = 4096
     theta_warmstart_lr: float = 1e-3
 
+    # Saddle guard (new-design robustness feature, OFF for strict reference
+    # parity): run quality at Yelp scale is decided in the FIRST online-train
+    # period — with an unlucky shuffle/negative stream the θ alternation
+    # stalls near the zero-score BCE saddle (outer loss ≈ 2 ln 2) and the
+    # run carries a permanent ~10-20% recall deficit (the stream, not θ init,
+    # decides: yelp_scale_r2.json strfix/thfix ablation). The guard watches
+    # the outer loss at phase ``saddle_check_phase`` of the first trained
+    # period; if it is still above ``saddle_frac * 2 ln 2`` the period is
+    # retried from its starting state with a re-folded stream key (at most
+    # ``saddle_retries`` times). Cost when triggered: the aborted phases +
+    # one state copy held during period 0. The torch reference has the same
+    # bad-stream tail (scripts/period0_probe.py) and no such recovery.
+    saddle_retries: int = 0
+    saddle_check_phase: int = 3
+    saddle_frac: float = 0.88
+
     # numerics
     dtype: str = "float32"
     # Storage dtype of the last/hat snapshot tables ("float32" |

@@ -70,6 +70,8 @@ class SMLDriver:
         self.report = RunReport(topks=tuple(cfg.topk))
         self._last_inner_loss = float("nan")
         self._last_outer_loss = float("nan")
+        # the saddle guard needs the per-epoch losses even without log_norms
+        self._track_losses = cfg.log_norms or cfg.saddle_retries > 0
         # non-final multi-pass passes stop at the end of the warm-up span
         # (reference hardcodes 19 for yelp = 30 - 10 - 1 and notes "news need
         # be different", transfer.py:986)
@@ -89,7 +91,7 @@ class SMLDriver:
         padded, index = prep
         for e in range(epochs):
             state, losses = self.engine.inner_epoch(state, padded, index)
-            if self.cfg.log_norms:
+            if self._track_losses:
                 self._last_inner_loss = _mean_loss(
                     losses, padded.n_real, self.cfg.mf_batch_size)
             if self.cfg.eval_during_inner and val is not None:
@@ -106,7 +108,7 @@ class SMLDriver:
         padded, index = prep
         for e in range(self.cfg.tr_epochs):
             state, losses = self.engine.outer_epoch(state, padded, index)
-            if self.cfg.log_norms:
+            if self._track_losses:
                 self._last_outer_loss = _mean_loss(
                     losses, padded.n_real, self.cfg.tr_batch_size)
             if self.cfg.refresh_after_outer_epoch:
@@ -117,6 +119,27 @@ class SMLDriver:
         if self.cfg.load_w_hat:
             state = self.engine.load_hat_into_mf(state)
         return state
+
+    def _warmup_phases(self, state: SMLState, prep_t, prep_tt,
+                       val, d_time: int, guard: bool):
+        """Branch-A phase alternation. With ``guard``, abort after
+        ``saddle_check_phase`` if the outer loss is still within
+        ``saddle_frac`` of the zero-score BCE saddle (2 ln 2) — the
+        bad-stream signature that predicts a permanently depressed run
+        (scripts/period0_probe.py calibration: good streams are ≤0.85 of
+        the saddle by phase 3, stalled ones ≥0.92)."""
+        thresh = self.cfg.saddle_frac * 2.0 * float(np.log(2.0))
+        for phase in range(self.cfg.multi_num):
+            state = self._inner_block(state, prep_t,
+                                      self.cfg.mf_epochs, val)
+            state = self.engine.snapshot_hat(state)
+            state = self.engine.refresh(state)
+            state = self._outer_block(state, prep_tt, val)
+            self._log_phase(state, d_time, phase)
+            if (guard and phase == self.cfg.saddle_check_phase
+                    and self._last_outer_loss > thresh):
+                return state, True
+        return state, False
 
     def _log_phase(self, state: SMLState, d_time: int, phase: int) -> None:
         """Per-phase warm-up diagnostics (reference ``need_writer`` scalars,
@@ -167,14 +190,23 @@ class SMLDriver:
                    if sd.set_tt is not None else None)
 
         if sd.now_test is None:
-            # branch A: warm-up (transfer.py:772-792)
-            for _phase in range(self.cfg.multi_num):
-                state = self._inner_block(state, prep_t,
-                                          self.cfg.mf_epochs, sd.val)
-                state = self.engine.snapshot_hat(state)
-                state = self.engine.refresh(state)
-                state = self._outer_block(state, prep_tt, sd.val)
-                self._log_phase(state, d_time, _phase)
+            # branch A: warm-up (transfer.py:772-792), with the optional
+            # first-period saddle guard (SMLConfig.saddle_retries)
+            budget = self.cfg.saddle_retries if d_time == 0 else 0
+            state0 = _copy_state(state) if budget > 0 else None
+            attempt = 0
+            while True:
+                state, stalled = self._warmup_phases(
+                    state, prep_t, prep_tt, sd.val, d_time,
+                    guard=attempt < budget)
+                if not stalled:
+                    break
+                attempt += 1
+                self.logger.log(kind="saddle_retry", d_time=d_time,
+                                attempt=attempt,
+                                outer_loss=self._last_outer_loss)
+                state = _copy_state(state0)._replace(
+                    key=_fold_key(state0.key, attempt))
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)
@@ -227,6 +259,19 @@ class SMLDriver:
         self.final_state = state
         self.logger.log(kind="summary", **self.report.summary())
         return self.report
+
+
+def _copy_state(state: SMLState) -> SMLState:
+    """Deep on-device copy: the epochs donate their inputs, so the guard's
+    restart point must own separate buffers."""
+    import jax
+    return jax.tree.map(lambda x: x.copy(), state)
+
+
+def _fold_key(key, attempt: int):
+    """A distinct stream for each saddle-guard retry."""
+    import jax
+    return jax.random.fold_in(key, 7919 + attempt)
 
 
 def _mean_loss(losses, n_real: int, batch_size: int) -> float:

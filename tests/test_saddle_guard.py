@@ -1,0 +1,97 @@
+"""First-period saddle guard (``SMLConfig.saddle_retries``).
+
+The guard retries the first online-train period with a re-folded stream key
+when the outer loss stalls near the zero-score BCE saddle (2 ln 2) — the
+bad-stream signature behind Yelp-scale run-to-run recall spread
+(scripts/period0_probe.py). Two invariants:
+
+1. Untriggered, the guard changes NOTHING: the final state is bitwise
+   identical to a ``saddle_retries=0`` run (loss tracking must not perturb
+   the trajectory or the key stream).
+2. Triggered (forced via ``saddle_frac=0``), it consumes exactly its retry
+   budget, logs each retry, still completes the sweep, and lands on a
+   different trajectory (the re-folded key changed the stream).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from sml_tpu.config import SMLConfig, TransferConfig
+from sml_tpu.train.driver import SMLDriver
+from sml_tpu.train.engine import SMLEngine
+from sml_tpu.utils.logging import MetricsLogger
+
+
+def _cfg(**kw):
+    base = dict(
+        multi_num=5, mf_epochs=1, tr_epochs=1,
+        mf_batch_size=256, tr_batch_size=128, eval_batch_size=256,
+        latent_dim=16,
+        transfer=TransferConfig(latent_dim=16, fc_hidden=64),
+        topk=(5, 10, 20),
+        saddle_check_phase=1,
+    )
+    base.update(kw)
+    return SMLConfig(**base)
+
+
+def _run(dspec, n_users, n_items, jsonl=None, **cfg_kw):
+    cfg = _cfg(**cfg_kw)
+    engine = SMLEngine(cfg, n_users, n_items)
+    driver = SMLDriver(cfg, dspec, engine=engine,
+                       logger=MetricsLogger(jsonl) if jsonl else None)
+    report = driver.run(engine.init_state())
+    return driver.final_state, report
+
+
+def _read_kinds(path):
+    with open(path) as fh:
+        return [json.loads(line) for line in fh]
+
+
+def test_guard_untriggered_is_bit_identical(synthetic_dataset):
+    dspec, info, spec = synthetic_dataset
+    base_state, base_report = _run(dspec, info.n_users, info.n_items,
+                                   saddle_retries=0)
+    # saddle_frac=10: threshold 10*2ln2, no real loss exceeds it
+    g_state, g_report = _run(dspec, info.n_users, info.n_items,
+                             saddle_retries=3, saddle_frac=10.0)
+    for a, b in zip([base_state.mf.user_emb, base_state.mf.item_emb],
+                    [g_state.mf.user_emb, g_state.mf.item_emb]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert base_report.per_period == g_report.per_period
+
+
+def test_guard_triggered_retries_and_completes(synthetic_dataset, tmp_path):
+    dspec, info, spec = synthetic_dataset
+    jsonl = str(tmp_path / "guard.jsonl")
+    # saddle_frac=0: every loss "stalls" -> the budget is fully consumed,
+    # then the final attempt runs unguarded to completion
+    state, report = _run(dspec, info.n_users, info.n_items, jsonl=jsonl,
+                         saddle_retries=2, saddle_frac=0.0)
+    rows = _read_kinds(jsonl)
+    retries = [r for r in rows if r.get("kind") == "saddle_retry"]
+    assert [r["attempt"] for r in retries] == [1, 2]
+    assert all(np.isfinite(r["outer_loss"]) for r in retries)
+    # sweep still completes with the usual 3 test periods
+    assert len(report.test_counts) == 3
+    assert all(np.isfinite(report.per_period[20]))
+
+    # the retry re-folds the key: final tables differ from the plain run
+    base_state, _ = _run(dspec, info.n_users, info.n_items, saddle_retries=0)
+    assert not np.allclose(np.asarray(state.mf.user_emb),
+                           np.asarray(base_state.mf.user_emb))
+
+
+def test_guard_only_first_period(synthetic_dataset, tmp_path):
+    """Stall forced everywhere, but retries must only ever fire at
+    d_time=0 (later periods are never guarded)."""
+    dspec, info, spec = synthetic_dataset
+    jsonl = str(tmp_path / "guard2.jsonl")
+    _run(dspec, info.n_users, info.n_items, jsonl=jsonl,
+         saddle_retries=1, saddle_frac=0.0)
+    rows = _read_kinds(jsonl)
+    retries = [r for r in rows if r.get("kind") == "saddle_retry"]
+    assert retries and all(r["d_time"] == 0 for r in retries)
