@@ -141,6 +141,7 @@ def phase_ours(args):
         "evals_during_train": args.evals,
         "theta_warmstart_steps": args.warmstart,
         "total_seconds": round(total, 1),
+        "saddle_retries_used": report.saddle_retries_used,
         "period_seconds": [round(s, 2) for s in report.period_seconds],
         "summary": {k: round(v, 5) for k, v in report.summary().items()},
         "per_period_recall@20":

@@ -222,6 +222,11 @@ class SMLConfig:
     saddle_retries: int = 0
     saddle_check_phase: int = 3
     saddle_frac: float = 0.88
+    # second check at the LAST phase of the guarded period: streams that
+    # squeeze under the early check but still end period 0 well above the
+    # converged level (good streams end at <=0.75 x 2 ln 2, stalled ones
+    # >=0.80) are retried too
+    saddle_final_frac: float = 0.78
 
     # numerics
     dtype: str = "float32"

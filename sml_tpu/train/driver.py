@@ -36,6 +36,7 @@ class RunReport:
     per_period_ndcg: Dict[int, List[float]] = field(default_factory=dict)
     test_counts: List[int] = field(default_factory=list)
     period_seconds: List[float] = field(default_factory=list)
+    saddle_retries_used: int = 0
 
     def summary(self) -> Dict[str, float]:
         """Weighted val/test averages per K (``transfer.py:991-1025``)."""
@@ -128,7 +129,9 @@ class SMLDriver:
         bad-stream signature that predicts a permanently depressed run
         (scripts/period0_probe.py calibration: good streams are ≤0.85 of
         the saddle by phase 3, stalled ones ≥0.92)."""
-        thresh = self.cfg.saddle_frac * 2.0 * float(np.log(2.0))
+        saddle = 2.0 * float(np.log(2.0))
+        thresh = self.cfg.saddle_frac * saddle
+        final_thresh = self.cfg.saddle_final_frac * saddle
         for phase in range(self.cfg.multi_num):
             state = self._inner_block(state, prep_t,
                                       self.cfg.mf_epochs, val)
@@ -136,8 +139,11 @@ class SMLDriver:
             state = self.engine.refresh(state)
             state = self._outer_block(state, prep_tt, val)
             self._log_phase(state, d_time, phase)
-            if (guard and phase == self.cfg.saddle_check_phase
-                    and self._last_outer_loss > thresh):
+            if guard and (
+                    (phase == self.cfg.saddle_check_phase
+                     and self._last_outer_loss > thresh)
+                    or (phase == self.cfg.multi_num - 1
+                        and self._last_outer_loss > final_thresh)):
                 return state, True
         return state, False
 
@@ -202,6 +208,7 @@ class SMLDriver:
                 if not stalled:
                     break
                 attempt += 1
+                self.report.saddle_retries_used += 1
                 self.logger.log(kind="saddle_retry", d_time=d_time,
                                 attempt=attempt,
                                 outer_loss=self._last_outer_loss)

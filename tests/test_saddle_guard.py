@@ -55,9 +55,10 @@ def test_guard_untriggered_is_bit_identical(synthetic_dataset):
     dspec, info, spec = synthetic_dataset
     base_state, base_report = _run(dspec, info.n_users, info.n_items,
                                    saddle_retries=0)
-    # saddle_frac=10: threshold 10*2ln2, no real loss exceeds it
+    # fracs=10: thresholds at 10*2ln2, no real loss exceeds them
     g_state, g_report = _run(dspec, info.n_users, info.n_items,
-                             saddle_retries=3, saddle_frac=10.0)
+                             saddle_retries=3, saddle_frac=10.0,
+                             saddle_final_frac=10.0)
     for a, b in zip([base_state.mf.user_emb, base_state.mf.item_emb],
                     [g_state.mf.user_emb, g_state.mf.item_emb]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
