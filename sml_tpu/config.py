@@ -225,7 +225,10 @@ class SMLConfig:
     # second check at the LAST phase of the guarded period: streams that
     # squeeze under the early check but still end period 0 well above the
     # converged level (good streams end at <=0.75 x 2 ln 2, stalled ones
-    # >=0.80) are retried too
+    # >=0.80) are retried too. Both fractions are calibrated for the Yelp
+    # protocol (multi_num=10, d=64, scripts/period0_probe.py); with far
+    # fewer phases per period the loss legitimately ends higher, so tune
+    # the fractions up (or raise saddle_check_phase) before opting in.
     saddle_final_frac: float = 0.78
 
     # numerics
