@@ -212,8 +212,12 @@ class SMLDriver:
                 self.logger.log(kind="saddle_retry", d_time=d_time,
                                 attempt=attempt,
                                 outer_loss=self._last_outer_loss)
-                state = _copy_state(state0)._replace(
-                    key=_fold_key(state0.key, attempt))
+                # re-roll the (θ-init, stream) PAIR: the stall belongs to
+                # the pair, and for some θ draws every stream stalls
+                state = self.engine.reinit_theta(
+                    _copy_state(state0)._replace(
+                        key=_fold_key(state0.key, attempt)),
+                    salt=attempt)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)

@@ -256,6 +256,23 @@ class SMLEngine:
             float(losses[-1])
         return theta
 
+    def reinit_theta(self, state: SMLState, salt: int) -> SMLState:
+        """Fresh Θ init (and optimizer moments) from a salted fold of the
+        run's θ key — the saddle guard's re-roll. The first-period stall is
+        a property of the (θ-init, stream) PAIR: for some θ draws every
+        stream stalls (seed-2001 retry diagnostics, yelp_scale_r2.json), so
+        retrying with a new stream alone cannot escape."""
+        key = jax.random.PRNGKey(self.cfg.seed)
+        _, ktr, _ = jax.random.split(key, 3)
+        if self.cfg.theta_seed is not None:
+            ktr = jax.random.PRNGKey(self.cfg.theta_seed)
+        ktr = jax.random.fold_in(ktr, 104729 + salt)
+        theta = init_transfer(ktr, self.cfg.transfer)
+        if self.cfg.theta_warmstart_steps > 0:
+            theta = self._theta_warmstart(theta, state.mf,
+                                          jax.random.fold_in(ktr, 1))
+        return state._replace(theta=theta, tr_opt=self.tr_tx.init(theta))
+
     def _next_key(self, state: SMLState) -> Tuple[SMLState, jax.Array]:
         k1, k2 = jax.random.split(state.key)
         return state._replace(key=k1), k2

@@ -86,6 +86,28 @@ def test_guard_triggered_retries_and_completes(synthetic_dataset, tmp_path):
                            np.asarray(base_state.mf.user_emb))
 
 
+def test_reinit_theta_rerolls_the_pair(synthetic_dataset):
+    """The retry must draw a genuinely fresh θ (the stall belongs to the
+    (θ, stream) pair) — deterministically per salt, fresh tr moments."""
+    dspec, info, spec = synthetic_dataset
+    engine = SMLEngine(_cfg(), info.n_users, info.n_items)
+    state = engine.init_state()
+    r1 = engine.reinit_theta(state, salt=1)
+    r1b = engine.reinit_theta(state, salt=1)
+    r2 = engine.reinit_theta(state, salt=2)
+    import jax
+    l0, l1, l1b, l2 = (jax.tree.leaves(s.theta)
+                       for s in (state, r1, r1b, r2))
+    assert any(not np.array_equal(a, b) for a, b in zip(l0, l1))
+    assert all(np.array_equal(a, b) for a, b in zip(l1, l1b))
+    assert any(not np.array_equal(a, b) for a, b in zip(l1, l2))
+    # fresh (all-zero) tr moments for the fresh θ
+    assert all(not np.any(np.asarray(leaf))
+               for leaf in jax.tree.leaves(r1.tr_opt)
+               if hasattr(leaf, "dtype") and np.issubdtype(
+                   np.asarray(leaf).dtype, np.floating))
+
+
 def test_guard_only_first_period(synthetic_dataset, tmp_path):
     """Stall forced everywhere, but retries must only ever fire at
     d_time=0 (later periods are never guarded)."""
