@@ -29,6 +29,12 @@ class PrefetchingFeeder:
                                         thread_name_prefix="sml-prefetch")
         self._pending: Optional[Future] = None
         self._pending_time: Optional[int] = None
+        # optional hook, called IN THE WORKER THREAD with (d_time, StageData)
+        # right after a period is prefetched — the driver uses it to pad +
+        # device_put the period's eval sets while the device still trains
+        # the previous period (the (rows, 1001) uploads otherwise serialize
+        # with training at each test-period boundary)
+        self.on_prefetch = None
 
     # pass-through surface of PeriodFeeder
     @property
@@ -73,8 +79,17 @@ class PrefetchingFeeder:
             sd = self._inner.next_train(d_time)
         if self._enabled and sd.set_t is not None:
             self._pending_time = d_time + 1
-            self._pending = self._pool.submit(self._inner.next_train,
-                                              d_time + 1)
+            self._pending = self._pool.submit(self._fetch, d_time + 1)
+        return sd
+
+    def _fetch(self, d_time: int):
+        sd = self._inner.next_train(d_time)
+        hook = self.on_prefetch
+        if hook is not None and sd.set_t is not None:
+            try:
+                hook(d_time, sd)
+            except Exception:
+                pass  # the hook is an optimization, never a requirement
         return sd
 
     def close(self) -> None:

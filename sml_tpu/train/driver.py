@@ -67,6 +67,12 @@ class SMLDriver:
             self.feeder = PrefetchingFeeder(self.feeder)
         self.engine = engine or SMLEngine(
             cfg, self.feeder.n_users, self.feeder.n_items)
+        # overlap the big (rows, 1001) eval-set uploads with training: the
+        # prefetch worker pads + device_puts period t+1's test/val sets
+        # while the device trains period t
+        self._eval_cache: Dict[tuple, object] = {}
+        if hasattr(self.feeder, "on_prefetch"):
+            self.feeder.on_prefetch = self._preload_eval_sets
         self.logger = logger or MetricsLogger(None)
         self.report = RunReport(topks=tuple(cfg.topk))
         self._last_inner_loss = float("nan")
@@ -158,9 +164,22 @@ class SMLDriver:
                         **self.engine.diagnostics(state),
                         **self.engine.sampler_stats)
 
+    def _preload_eval_sets(self, d_time: int, sd: StageData) -> None:
+        """Prefetch-worker hook: device-put the period's eval sets early."""
+        if sd.now_test is not None:
+            self._eval_cache[(d_time, "test")] = \
+                self.engine.make_eval_set(sd.now_test)
+        if (sd.val is not None and sd.val is not sd.now_test
+                and (self.cfg.eval_during_inner
+                     or self.cfg.eval_during_outer)):
+            self._eval_cache[(d_time, "val")] = \
+                self.engine.make_eval_set(sd.val)
+
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:
-        metrics = self.engine.evaluate(state.mf, now_test)
+        padded = self._eval_cache.pop((period, "test"), None)
+        metrics = self.engine.evaluate(
+            state.mf, padded if padded is not None else now_test)
         self.report.test_counts.append(int(now_test.shape[0]))
         for k, m in metrics.items():
             self.report.per_period.setdefault(k, []).append(m["recall"])
@@ -188,7 +207,9 @@ class SMLDriver:
         val = sd.val
         if val is not None and (self.cfg.eval_during_inner
                                 or self.cfg.eval_during_outer):
-            val = self.engine.make_eval_set(val)
+            cached = self._eval_cache.pop((d_time, "val"), None)
+            val = cached if cached is not None else \
+                self.engine.make_eval_set(val)
         sd = sd._replace(val=val)
 
         prep_t = self.engine.prep_inner(sd.set_t)
@@ -259,6 +280,7 @@ class SMLDriver:
         for pass_id in range(self.cfg.pass_num):
             final_pass = pass_id == self.cfg.pass_num - 1
             self.feeder.reinit()
+            self._eval_cache.clear()
             d_time = 0
             while max_periods is None or d_time < max_periods:
                 state, ok = self.run_period(state, d_time)
