@@ -59,7 +59,8 @@ def main():
 
     def variant(key):
         for pre in ("ours_nows", "ours_ws", "ours_thfix", "ours_strfix",
-                    "ours_faithful", "reference"):
+                    "ours_faithful", "ours_guard3", "ours_guard2",
+                    "ours_guard", "reference"):
             if key.startswith(pre):
                 return pre
         return None
@@ -76,11 +77,49 @@ def main():
         runs[k] = {
             "mean10_recall@20": round(m, 5),
             "total_seconds": v.get("total_seconds"),
+            "saddle_retries_used": v.get("saddle_retries_used"),
             "weighted_test_recall@20":
                 (v.get("summary") or {}).get("test_recall@20"),
             "per_period_recall@20":
                 v.get("per_period_recall@20") or v.get("recall@20"),
         }
+
+    # Guard-on fleet composite over the 16 nows seeds: where a guard3 run
+    # exists the guard triggered and its value applies; everywhere else the
+    # guard is untriggered and bitwise inert (tests/test_saddle_guard.py),
+    # so the nows value IS the guard-on value.
+    guard3_by_seed = {k.rsplit("seed", 1)[-1]: mean10(v)
+                      for k, v in res.items()
+                      if k.startswith("ours_guard3_") and mean10(v)}
+    fleet = []
+    for k, v in res.items():
+        if not k.startswith("ours_nows_seed"):
+            continue
+        seed = k.rsplit("seed", 1)[-1]
+        m = guard3_by_seed.get(seed) or mean10(v)
+        if m:
+            fleet.append(m)
+    if fleet:
+        groups["ours_guard_on_fleet"] = fleet
+
+    # Period-0 probe stall classification (outer-loss thresholds from
+    # scripts/period0_probe.py: final <=1.04 good, >=1.11 bad).
+    probes = {}
+    for k, v in res.items():
+        if not k.startswith("probe_"):
+            continue
+        side = "reference" if "reference" in k else "ours"
+        final = v["outer_loss"][-1]
+        cls = "good" if final <= 1.04 else ("bad" if final >= 1.11 else "mid")
+        probes.setdefault(side, []).append(
+            {"seed": v.get("seed"), "outer_final": final, "class": cls})
+    probe_summary = {
+        side: {
+            "n": len(rows),
+            "bad": sum(r["class"] == "bad" for r in rows),
+            "mid": sum(r["class"] == "mid" for r in rows),
+            "rows": sorted(rows, key=lambda r: r["seed"]),
+        } for side, rows in probes.items()}
 
     out = {
         "protocol": {"periods": 40, "train_start": 10, "test_start": 30,
@@ -91,6 +130,7 @@ def main():
         "dataset": res.get("dataset"),
         "pretrain": res.get("pretrain"),
         "groups": {g: group_stats(vals) for g, vals in sorted(groups.items())},
+        "period0_probes": probe_summary,
         "runs": runs,
     }
 
