@@ -77,8 +77,14 @@ class SMLDriver:
         self.report = RunReport(topks=tuple(cfg.topk))
         self._last_inner_loss = float("nan")
         self._last_outer_loss = float("nan")
-        # the saddle guard needs the per-epoch losses even without log_norms
+        # Per-epoch loss tracking forces a host sync on the scanned losses;
+        # keep it off unless something reads the numbers. The saddle guard
+        # only reads the FIRST period's outer losses, so guard-enabled runs
+        # pay the sync in period 0 alone (set per period in ``_run_period``).
         self._track_losses = cfg.log_norms or cfg.saddle_retries > 0
+        # In-training evals are dispatched without fetching and resolved in
+        # one host transfer per period (``SMLEngine.evaluate_deferred``).
+        self._pending_evals: List[tuple] = []
         # non-final multi-pass passes stop at the end of the warm-up span
         # (reference hardcodes 19 for yelp = 30 - 10 - 1 and notes "news need
         # be different", transfer.py:986)
@@ -102,8 +108,9 @@ class SMLDriver:
                 self._last_inner_loss = _mean_loss(
                     losses, padded.n_real, self.cfg.mf_batch_size)
             if self.cfg.eval_during_inner and val is not None:
-                m = self.engine.evaluate(state.mf, val)
-                self.logger.log(kind="inner_eval", epoch=e, **_flatten(m))
+                self._pending_evals.append(
+                    ("inner_eval", e,
+                     self.engine.evaluate_deferred(state.mf, val)))
         return state
 
     def _outer_block(self, state: SMLState, prep,
@@ -121,8 +128,9 @@ class SMLDriver:
             if self.cfg.refresh_after_outer_epoch:
                 state = self.engine.refresh(state)
                 if self.cfg.eval_during_outer and val is not None:
-                    m = self.engine.evaluate(state.mf, val)
-                    self.logger.log(kind="outer_eval", epoch=e, **_flatten(m))
+                    self._pending_evals.append(
+                        ("outer_eval", e,
+                         self.engine.evaluate_deferred(state.mf, val)))
         if self.cfg.load_w_hat:
             state = self.engine.load_hat_into_mf(state)
         return state
@@ -164,6 +172,17 @@ class SMLDriver:
                         **self.engine.diagnostics(state),
                         **self.engine.sampler_stats)
 
+    def _flush_evals(self) -> None:
+        """Resolve all pending in-training evals (one host transfer) and log
+        them in dispatch order. Called at period end and before a saddle
+        retry, so jsonl content matches the synchronous path row for row."""
+        if not self._pending_evals:
+            return
+        pending, self._pending_evals = self._pending_evals, []
+        metrics = self.engine.resolve_evals([d for _, _, d in pending])
+        for (kind, epoch, _), m in zip(pending, metrics):
+            self.logger.log(kind=kind, epoch=epoch, **_flatten(m))
+
     def _preload_eval_sets(self, d_time: int, sd: StageData) -> None:
         """Prefetch-worker hook: device-put the period's eval sets early."""
         if sd.now_test is not None:
@@ -198,6 +217,8 @@ class SMLDriver:
 
     def _run_period(self, state: SMLState, d_time: int):
         t0 = time.time()
+        self._track_losses = self.cfg.log_norms or (
+            d_time == 0 and self.cfg.saddle_retries > 0)
         state = self.engine.snapshot_last(state)
         sd: StageData = self.feeder.next_train(d_time)
         if sd.set_t is None:
@@ -230,6 +251,7 @@ class SMLDriver:
                     break
                 attempt += 1
                 self.report.saddle_retries_used += 1
+                self._flush_evals()   # the aborted attempt's eval rows
                 self.logger.log(kind="saddle_retry", d_time=d_time,
                                 attempt=attempt,
                                 outer_loss=self._last_outer_loss)
@@ -261,6 +283,7 @@ class SMLDriver:
                 self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 
+        self._flush_evals()
         dt = time.time() - t0
         self.report.period_seconds.append(dt)
         self.logger.log(kind="period", d_time=d_time, seconds=dt)

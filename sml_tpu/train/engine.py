@@ -393,15 +393,37 @@ class SMLEngine:
             padded = self.placement.batch(padded)
         return padded
 
+    def evaluate_deferred(self, mf: MFParams, test_rows):
+        """Dispatch an eval WITHOUT fetching the result: returns
+        ``(sums, n)`` where ``sums`` maps K -> (hit, ndcg) device scalars.
+
+        In-training evals fire up to ``multi_num * (mf+tr epochs)`` times per
+        period and nothing reads their numbers until the jsonl log — blocking
+        on ``float(h)`` per call serializes the device queue on a host
+        round-trip each time (expensive over the axon tunnel). Deferring lets
+        training run ahead; ``resolve_evals`` fetches a whole period's worth
+        in one transfer."""
+        padded = (test_rows if isinstance(test_rows, PaddedRows)
+                  else self.make_eval_set(test_rows))
+        return self._eval(mf, padded.rows, padded.mask), max(padded.n_real, 1)
+
+    def resolve_evals(self, deferred):
+        """Materialize a list of ``evaluate_deferred`` results with one
+        host fetch; returns a list of {K: {recall, ndcg}} dicts."""
+        if not deferred:
+            return []
+        if self.placement is not None:
+            fetched = [
+                ({k: (self.placement.fetch(h), self.placement.fetch(nd))
+                  for k, (h, nd) in sums.items()}, n)
+                for sums, n in deferred]
+        else:
+            fetched = jax.device_get(deferred)
+        return [{k: {"recall": float(h) / n, "ndcg": float(nd) / n}
+                 for k, (h, nd) in sums.items()}
+                for sums, n in fetched]
+
     def evaluate(self, mf: MFParams, test_rows) -> Dict[int, Dict[str, float]]:
         """recall@K / NDCG@K over eval-format rows (numpy or a cached
         ``make_eval_set`` result); all Ks in one pass."""
-        padded = (test_rows if isinstance(test_rows, PaddedRows)
-                  else self.make_eval_set(test_rows))
-        sums = self._eval(mf, padded.rows, padded.mask)
-        n = max(padded.n_real, 1)
-        if self.placement is not None:
-            sums = {k: (self.placement.fetch(h), self.placement.fetch(nd))
-                    for k, (h, nd) in sums.items()}
-        return {k: {"recall": float(h) / n, "ndcg": float(nd) / n}
-                for k, (h, nd) in sums.items()}
+        return self.resolve_evals([self.evaluate_deferred(mf, test_rows)])[0]

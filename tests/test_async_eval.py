@@ -1,0 +1,96 @@
+"""Deferred in-training evals: dispatch-now/fetch-later must be value-exact.
+
+The reference evaluates validation recall synchronously inside the training
+loops (``model/transfer.py:444-446``, ``:738-741``); our driver dispatches
+those evals without a host fetch and resolves a period's worth in one
+transfer (``SMLEngine.evaluate_deferred`` / ``SMLDriver._flush_evals``).
+These tests pin (a) exact value equality with the synchronous path and
+(b) that the driver logs the same rows, in epoch order, as a synchronous
+spy computes at dispatch time.
+"""
+
+import json
+
+import numpy as np
+
+from sml_tpu.config import SMLConfig, TransferConfig
+from sml_tpu.train.driver import SMLDriver
+from sml_tpu.train.engine import SMLEngine
+from sml_tpu.utils.logging import MetricsLogger
+
+
+def _cfg(**kw):
+    base = dict(
+        multi_num=2, mf_epochs=1, tr_epochs=1,
+        mf_batch_size=256, tr_batch_size=128, eval_batch_size=256,
+        latent_dim=16, transfer=TransferConfig(latent_dim=16, fc_hidden=64),
+        topk=(5, 10, 20),
+    )
+    base.update(kw)
+    return SMLConfig(**base)
+
+
+def test_deferred_equals_sync(synthetic_dataset):
+    dspec, info, spec = synthetic_dataset
+    cfg = _cfg()
+    engine = SMLEngine(cfg, info.n_users, info.n_items)
+    state = engine.init_state()
+    rng = np.random.default_rng(0)
+    rows = np.concatenate(
+        [rng.integers(0, info.n_users, (100, 1)),
+         rng.integers(0, info.n_items, (100, 50))], axis=1)
+
+    sync = engine.evaluate(state.mf, rows)
+    padded = engine.make_eval_set(rows)
+    out = engine.resolve_evals(
+        [engine.evaluate_deferred(state.mf, padded),
+         engine.evaluate_deferred(state.mf, padded)])
+    assert len(out) == 2
+    for m in out:
+        for k in cfg.topk:
+            assert m[k]["recall"] == sync[k]["recall"]
+            assert m[k]["ndcg"] == sync[k]["ndcg"]
+    assert engine.resolve_evals([]) == []
+
+
+def test_driver_logs_match_sync_spy(synthetic_dataset, tmp_path):
+    """Run a short sweep with in-training evals on; a spy computes each
+    eval synchronously at dispatch time and the flushed jsonl rows must
+    reproduce those values exactly, in order."""
+    dspec, info, spec = synthetic_dataset
+    cfg = _cfg(eval_during_inner=True, eval_during_outer=True)
+    engine = SMLEngine(cfg, info.n_users, info.n_items)
+    log_path = tmp_path / "evals.jsonl"
+    driver = SMLDriver(cfg, dspec, engine=engine,
+                       logger=MetricsLogger(str(log_path)))
+
+    real_deferred = engine.evaluate_deferred
+    sync_vals = []
+
+    def spy(mf, rows):
+        d = real_deferred(mf, rows)
+        sync_vals.append(engine.resolve_evals([d])[0])
+        return d
+
+    # keep ``evaluate`` (used by _record_test) off the spy so sync_vals
+    # holds exactly the driver's in-training dispatches, in order
+    engine.evaluate = lambda mf, rows: engine.resolve_evals(
+        [real_deferred(mf, rows)])[0]
+    engine.evaluate_deferred = spy
+    state = engine.init_state()
+    driver.run(state, max_periods=dspec.online_test_start + 1)
+    driver.logger.close()
+
+    logged = [json.loads(l) for l in log_path.read_text().splitlines()]
+    eval_rows = [r for r in logged
+                 if r["kind"] in ("inner_eval", "outer_eval")]
+    # warm-up periods with a val set dispatch multi_num*(mf+tr) evals each
+    assert len(eval_rows) == len(sync_vals) and len(sync_vals) > 0
+    for row, m in zip(eval_rows, sync_vals):
+        for k in cfg.topk:
+            assert row[f"recall@{k}"] == m[k]["recall"]
+            assert row[f"ndcg@{k}"] == m[k]["ndcg"]
+    # flush preserves dispatch (epoch) order within each period and kind
+    for kind in ("inner_eval", "outer_eval"):
+        epochs = [r["epoch"] for r in eval_rows if r["kind"] == kind]
+        assert epochs, kind
