@@ -145,6 +145,14 @@ class SMLConfig:
     # combined tables exceed FAST_TABLE_ADAM_AUTO_ROWS.
     fast_table_adam: Optional[bool] = None
 
+    # Fuse each SML phase (inner epochs -> hat -> refresh -> outer epochs)
+    # into ONE jitted dispatch (SMLEngine.phase_step). Same op sequence and
+    # key stream as the epoch-at-a-time path; saves ~4 host round-trips per
+    # phase (multi_num per period), which dominate warm-sweep wall-clock on
+    # a remote-dispatch TPU. Automatically bypassed where intermediate
+    # states are observed (in-training evals; branch-C phase 0).
+    fuse_phases: bool = True
+
     # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
     # on its compute_performance path (transfer.py:738-741), which is active
     # for the default TR_sample_type='alone' + val given. Keep on by default.

@@ -135,6 +135,30 @@ class SMLDriver:
             state = self.engine.load_hat_into_mf(state)
         return state
 
+    def _can_fuse(self, val) -> bool:
+        """One-dispatch phases unless in-training evals need the
+        intermediate (post-epoch) states."""
+        return (self.cfg.fuse_phases
+                and not (val is not None and (self.cfg.eval_during_inner
+                                              or self.cfg.eval_during_outer)))
+
+    def _one_phase(self, state: SMLState, prep_t, prep_tt, val) -> SMLState:
+        """One SML phase: inner epochs -> hat snapshot -> refresh -> outer
+        epochs (``transfer.py:772-791`` loop body). Fused into a single
+        device dispatch (``SMLEngine.phase_step``) when possible."""
+        if self._can_fuse(val):
+            state, il, ol = self.engine.phase_step(state, prep_t, prep_tt)
+            if self._track_losses:
+                self._last_inner_loss = _mean_loss(
+                    il, prep_t[0].n_real, self.cfg.mf_batch_size)
+                self._last_outer_loss = _mean_loss(
+                    ol, prep_tt[0].n_real, self.cfg.tr_batch_size)
+            return state
+        state = self._inner_block(state, prep_t, self.cfg.mf_epochs, val)
+        state = self.engine.snapshot_hat(state)
+        state = self.engine.refresh(state)
+        return self._outer_block(state, prep_tt, val)
+
     def _warmup_phases(self, state: SMLState, prep_t, prep_tt,
                        val, d_time: int, guard: bool):
         """Branch-A phase alternation. With ``guard``, abort after
@@ -147,11 +171,7 @@ class SMLDriver:
         thresh = self.cfg.saddle_frac * saddle
         final_thresh = self.cfg.saddle_final_frac * saddle
         for phase in range(self.cfg.multi_num):
-            state = self._inner_block(state, prep_t,
-                                      self.cfg.mf_epochs, val)
-            state = self.engine.snapshot_hat(state)
-            state = self.engine.refresh(state)
-            state = self._outer_block(state, prep_tt, val)
+            state = self._one_phase(state, prep_t, prep_tt, val)
             self._log_phase(state, d_time, phase)
             if guard and (
                     (phase == self.cfg.saddle_check_phase
@@ -271,15 +291,19 @@ class SMLDriver:
             state = self.engine.refresh(state)
             self._record_test(state, sd.now_test, d_time)
         else:
-            # branch C: test + keep training Θ (transfer.py:826-881)
+            # branch C: test + keep training Θ (transfer.py:826-881).
+            # Phase 0 stays unfused: the test must score the post-refresh
+            # tables BEFORE the outer epochs re-refresh them.
             for phase in range(self.cfg.multi_num):
-                state = self._inner_block(state, prep_t,
-                                          self.cfg.mf_epochs, sd.val)
-                state = self.engine.snapshot_hat(state)
-                state = self.engine.refresh(state)
                 if phase == 0:
+                    state = self._inner_block(state, prep_t,
+                                              self.cfg.mf_epochs, sd.val)
+                    state = self.engine.snapshot_hat(state)
+                    state = self.engine.refresh(state)
                     self._record_test(state, sd.now_test, d_time)
-                state = self._outer_block(state, prep_tt, sd.val)
+                    state = self._outer_block(state, prep_tt, sd.val)
+                else:
+                    state = self._one_phase(state, prep_t, prep_tt, sd.val)
                 self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 

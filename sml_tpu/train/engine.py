@@ -71,8 +71,12 @@ class SMLEngine:
         self._outer = jax.jit(make_outer_epoch(cfg, self.tr_tx),
                               donate_argnums=(0, 1))
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
-        self._refresh = jax.jit(functools.partial(
-            transfer_mod.apply_tables, cfg=cfg.transfer))
+        self._refresh_impl = functools.partial(
+            transfer_mod.apply_tables, cfg=cfg.transfer)
+        self._refresh = jax.jit(self._refresh_impl)
+        # one-dispatch SML phase (inner epochs -> hat -> refresh -> outer
+        # epochs); built lazily because set_mesh can swap the refresh impl
+        self._phase = None
         # row-sharded tables: set_mesh() swaps in the shard_map refresh
         # (keeps every row local; the plain blocked path all-gathers)
         self.mesh = None
@@ -134,9 +138,11 @@ class SMLEngine:
         stay efficient under GSPMD."""
         self.mesh = mesh
         if mesh is not None and mesh.shape.get("model", 1) > 1:
-            self._refresh = jax.jit(functools.partial(
+            self._refresh_impl = functools.partial(
                 transfer_mod.apply_tables_sharded, cfg=self.cfg.transfer,
-                mesh=mesh))
+                mesh=mesh)
+            self._refresh = jax.jit(self._refresh_impl)
+            self._phase = None   # rebuild with the shard_map refresh
 
     def init_state_sharded(self, mesh, pretrained_mf: Optional[MFParams]
                            = None, skip_theta_warmstart: bool = False
@@ -366,6 +372,73 @@ class SMLEngine:
             state.hat_user, state.hat_item, padded.rows, padded.mask,
             jnp.int32(padded.n_real), k, index)
         return state._replace(theta=theta, tr_opt=opt), losses
+
+    def _build_phase(self):
+        """Compile ONE device program for a whole SML phase:
+        ``mf_epochs`` inner epochs -> hat snapshot -> refresh ->
+        ``tr_epochs`` outer epochs (with the per-epoch refresh and the
+        ``load_w_hat`` restore when configured).
+
+        The unfused path dispatches ~5 device calls per phase; over the
+        remote-TPU tunnel each dispatch costs a host round-trip, and a
+        Yelp-scale warm-up period runs ``multi_num`` = 10 phases. Same op
+        sequence and key-stream as the epoch-at-a-time path (``key, k =
+        split(key)`` exactly where ``_next_key`` would), so trajectories
+        match; the last inner/outer per-batch loss vectors come back for
+        the saddle guard / ``log_norms`` without extra dispatches."""
+        cfg = self.cfg
+        inner = make_inner_epoch(cfg, self.mf_tx)
+        outer = make_outer_epoch(cfg, self.tr_tx)
+        refresh = self._refresh_impl
+        sdt = jnp.dtype(cfg.snapshot_dtype)
+
+        def phase(state: SMLState, rows_t, mask_t, n_real_t, index_t,
+                  rows_tt, mask_tt, n_real_tt, index_tt):
+            mf, theta = state.mf, state.theta
+            mf_opt, tr_opt, key = state.mf_opt, state.tr_opt, state.key
+            last_u, last_i = state.last_user, state.last_item
+            inner_losses = outer_losses = jnp.zeros((0,), jnp.float32)
+            for _ in range(cfg.mf_epochs):
+                key, k = jax.random.split(key)
+                mf, mf_opt, inner_losses = inner(
+                    mf, mf_opt, theta, last_u, last_i,
+                    rows_t, mask_t, n_real_t, k, index_t)
+            hat_u = mf.user_emb.astype(sdt)
+            hat_i = mf.item_emb.astype(sdt)
+
+            def refreshed(mf, theta):
+                new_u, new_i = refresh(theta=theta, last_user=last_u,
+                                       hat_user=hat_u, last_item=last_i,
+                                       hat_item=hat_i)
+                return with_tables(mf, new_u, new_i)
+
+            mf = refreshed(mf, theta)
+            for _ in range(cfg.tr_epochs):
+                key, k = jax.random.split(key)
+                theta, tr_opt, outer_losses = outer(
+                    theta, tr_opt, last_u, last_i, hat_u, hat_i,
+                    rows_tt, mask_tt, n_real_tt, k, index_tt)
+                if cfg.refresh_after_outer_epoch:
+                    mf = refreshed(mf, theta)
+            if cfg.load_w_hat:
+                dt = mf.user_emb.dtype
+                mf = with_tables(mf, hat_u.astype(dt), hat_i.astype(dt))
+            state = state._replace(mf=mf, theta=theta, mf_opt=mf_opt,
+                                   tr_opt=tr_opt, key=key,
+                                   hat_user=hat_u, hat_item=hat_i)
+            return state, inner_losses, outer_losses
+
+        return jax.jit(phase, donate_argnums=(0,))
+
+    def phase_step(self, state: SMLState, prep_t, prep_tt):
+        """One fused SML phase (see :meth:`_build_phase`); returns
+        ``(state, last_inner_losses, last_outer_losses)``."""
+        if self._phase is None:
+            self._phase = self._build_phase()
+        (pt, it), (ptt, itt) = prep_t, prep_tt
+        return self._phase(state, pt.rows, pt.mask, jnp.int32(pt.n_real),
+                           it, ptt.rows, ptt.mask, jnp.int32(ptt.n_real),
+                           itt)
 
     def diagnostics(self, state: SMLState) -> Dict[str, float]:
         """Weight-scale scalars (reference ``need_writer``,
