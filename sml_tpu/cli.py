@@ -172,6 +172,7 @@ def cmd_sml(args) -> int:
                      item_bias=np.asarray(hs.mf.item_bias))
             print(f"saved final tables to {args.save_model}", file=sys.stderr)
 
+    driver.finalize()   # drain deferred test/eval metrics into the report
     summary = driver.report.summary()
     if main_proc:
         print(json.dumps(summary, indent=2))

@@ -85,6 +85,11 @@ class SMLDriver:
         # In-training evals are dispatched without fetching and resolved in
         # one host transfer per period (``SMLEngine.evaluate_deferred``).
         self._pending_evals: List[tuple] = []
+        # Test evals likewise: a blocking fetch of PENDING compute pays the
+        # tunnel's ~1 s readiness poll, while a ready buffer fetches in
+        # ~30 ms — so test metrics resolve in ``finalize()`` (run end),
+        # long after their compute finished.
+        self._pending_tests: List[tuple] = []
         # non-final multi-pass passes stop at the end of the warm-up span
         # (reference hardcodes 19 for yelp = 30 - 10 - 1 and notes "news need
         # be different", transfer.py:986)
@@ -192,16 +197,49 @@ class SMLDriver:
                         **self.engine.diagnostics(state),
                         **self.engine.sampler_stats)
 
-    def _flush_evals(self) -> None:
-        """Resolve all pending in-training evals (one host transfer) and log
-        them in dispatch order. Called at period end and before a saddle
-        retry, so jsonl content matches the synchronous path row for row."""
+    def _flush_evals(self, force: bool = True) -> None:
+        """Resolve pending in-training evals (one host transfer) and log
+        them in dispatch order. With ``force=False`` (the period-end call)
+        nothing happens unless the newest eval's compute already finished —
+        fetching a PENDING result pays the tunnel's readiness poll, so
+        not-yet-ready evals carry over and resolve a period later (or in
+        ``finalize``) at ready-buffer cost. Content and order in the jsonl
+        are identical either way."""
         if not self._pending_evals:
             return
+        if not force:
+            sums, _ = self._pending_evals[-1][2]
+            leaf = next(iter(sums.values()))[0]
+            if hasattr(leaf, "is_ready") and not leaf.is_ready():
+                return
         pending, self._pending_evals = self._pending_evals, []
         metrics = self.engine.resolve_evals([d for _, _, d in pending])
         for (kind, epoch, _), m in zip(pending, metrics):
             self.logger.log(kind=kind, epoch=epoch, **_flatten(m))
+
+    def _drain_tests(self) -> None:
+        """Resolve the deferred per-period test evals (in period order) into
+        the report + jsonl."""
+        if not self._pending_tests:
+            return
+        pending, self._pending_tests = self._pending_tests, []
+        metrics = self.engine.resolve_evals([d for _, _, d in pending])
+        for (period, n, _), m in zip(pending, metrics):
+            self.report.test_counts.append(n)
+            for k, mm in m.items():
+                self.report.per_period.setdefault(k, []).append(mm["recall"])
+                self.report.per_period_ndcg.setdefault(
+                    k, []).append(mm["ndcg"])
+            self.logger.log(kind="test", period=period, n_test=n,
+                            **_flatten(m))
+
+    def finalize(self) -> None:
+        """Drain every deferred eval/test into the report and the log.
+        Called by :meth:`run`; callers driving :meth:`run_period` directly
+        (the CLI's checkpointing loop) must call it before reading
+        ``report``."""
+        self._flush_evals()
+        self._drain_tests()
 
     def _preload_eval_sets(self, d_time: int, sd: StageData) -> None:
         """Prefetch-worker hook: device-put the period's eval sets early."""
@@ -217,14 +255,10 @@ class SMLDriver:
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:
         padded = self._eval_cache.pop((period, "test"), None)
-        metrics = self.engine.evaluate(
-            state.mf, padded if padded is not None else now_test)
-        self.report.test_counts.append(int(now_test.shape[0]))
-        for k, m in metrics.items():
-            self.report.per_period.setdefault(k, []).append(m["recall"])
-            self.report.per_period_ndcg.setdefault(k, []).append(m["ndcg"])
-        self.logger.log(kind="test", period=period,
-                        n_test=int(now_test.shape[0]), **_flatten(metrics))
+        self._pending_tests.append((
+            period, int(now_test.shape[0]),
+            self.engine.evaluate_deferred(
+                state.mf, padded if padded is not None else now_test)))
 
     # ----------------------------------------------------------------- periods
     def run_period(self, state: SMLState, d_time: int):
@@ -307,7 +341,7 @@ class SMLDriver:
                 self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 
-        self._flush_evals()
+        self._flush_evals(force=False)
         dt = time.time() - t0
         self.report.period_seconds.append(dt)
         self.logger.log(kind="period", d_time=d_time, seconds=dt)
@@ -337,6 +371,7 @@ class SMLDriver:
                 if not final_pass and d_time >= self._stop_stage:
                     break
         self.final_state = state
+        self.finalize()
         self.logger.log(kind="summary", **self.report.summary())
         return self.report
 

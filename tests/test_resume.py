@@ -59,6 +59,8 @@ def test_resume_reproduces_uninterrupted_run(synthetic_dataset, tmp_path):
 
     # driver_b saw test periods 0..(maybe 1); driver_c the rest; together
     # they must equal the uninterrupted sequence exactly
+    driver_b.finalize()   # direct run_period callers drain deferred tests
+    driver_c.finalize()
     merged = {k: driver_b.report.per_period.get(k, [])
               + driver_c.report.per_period.get(k, [])
               for k in report_a.per_period}
