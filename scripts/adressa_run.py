@@ -112,7 +112,7 @@ def phase_sml(args):
     t0 = time.time()
     report = driver.run(state)
     total = time.time() - t0
-    record(args.root, "sml", {
+    record(args.root, args.key or "sml", {
         "backend": jax.default_backend(),
         "seed": args.seed,
         "total_seconds": round(total, 1),
@@ -150,16 +150,63 @@ def phase_baselines(args):
     record(args.root, "baselines", out)
 
 
+def phase_reference(args):
+    """The reference driver (imported from /root/reference, CPU) at the
+    news protocol on the SAME dataset + shared pretrain: the accuracy-parity
+    counterpart of phase_sml (round 1/2 parity was Yelp-protocol only)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "pvr", os.path.join(REPO, "scripts", "parity_vs_reference.py"))
+    pvr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pvr)
+    pvr.set_protocol(n_periods=N_PERIODS, train_start=TRAIN_START,
+                     test_start=TEST_START, neg=NEG, multi=MULTI,
+                     latent=LATENT, mf_epochs=EPOCHS, tr_epochs=EPOCHS)
+    params = load_pre(args.root)
+    t0 = time.time()
+    ref = pvr.run_reference(args.root, params, ref_seed=args.seed,
+                            dataset_name="news")
+    total = time.time() - t0
+    weighted = _weighted_summary(ref)
+    log(f"reference news: {weighted}")
+    record(args.root, f"reference_seed{args.seed}", {
+        "seed": args.seed,
+        "total_seconds": round(total, 1),
+        "summary": weighted,
+        "per_period_recall@20": [round(v, 4) for v in ref["recall@20"]],
+        "test_num": ref["test_num"],
+    })
+
+
+def _weighted_summary(ref):
+    """The reference's val/test split + test-count weighting
+    (``transfer.py:991-1025``): first third of test periods = validation."""
+    out = {}
+    n = np.asarray(ref["test_num"], dtype=np.float64)
+    cut = max(1, len(n) // 3)
+    for k in (5, 10, 20):
+        for name in ("recall", "ndcg"):
+            v = np.asarray(ref[f"{name}@{k}"], dtype=np.float64)
+            out[f"val_{name}@{k}"] = round(
+                float((v[:cut] * n[:cut]).sum() / n[:cut].sum()), 5)
+            out[f"test_{name}@{k}"] = round(
+                float((v[cut:] * n[cut:]).sum() / n[cut:].sum()), 5)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["gen", "pretrain", "sml", "baselines"])
+                    choices=["gen", "pretrain", "sml", "baselines",
+                             "reference"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--users", type=int, default=12_000)
     ap.add_argument("--items", type=int, default=8_000)
     ap.add_argument("--inter", type=int, default=8_000)
     ap.add_argument("--pool", type=int, default=30_000)
     ap.add_argument("--seed", type=int, default=2000)
+    ap.add_argument("--key", default=None,
+                    help="results.json key (default: the phase name)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -167,7 +214,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.root, exist_ok=True)
     {"gen": phase_gen, "pretrain": phase_pretrain,
-     "sml": phase_sml, "baselines": phase_baselines}[args.phase](args)
+     "sml": phase_sml, "baselines": phase_baselines,
+     "reference": phase_reference}[args.phase](args)
 
 
 if __name__ == "__main__":

@@ -36,15 +36,18 @@ TEST_START = 6
 NEG = 49
 MULTI = 3
 LATENT = 16
+MF_EPOCHS = 1       # news protocol uses 2 (main_news.py:34,68)
+TR_EPOCHS = 1
 BASE_EPOCHS = 3     # baseline epochs per period (reference default is 20)
 BASE_POOL = 600     # SPMF reservoir size
 
 
 def set_protocol(**kw):
     """Override the matched protocol constants (used by the yelp-scale
-    sweep, which reruns the reference driver at full size)."""
+    sweep and the adressa runner, which rerun the reference driver at
+    their own protocol shapes)."""
     valid = {"N_PERIODS", "TRAIN_START", "TEST_START", "NEG", "MULTI",
-             "LATENT", "BASE_EPOCHS", "BASE_POOL"}
+             "LATENT", "BASE_EPOCHS", "BASE_POOL", "MF_EPOCHS", "TR_EPOCHS"}
     for name, v in kw.items():
         key = name.upper()
         assert key in valid, name
@@ -207,7 +210,7 @@ def run_ours_baseline(dspec, params, method):
     }
 
 
-def run_reference(root, params, ref_seed=2000):
+def run_reference(root, params, ref_seed=2000, dataset_name="synth"):
     """Execute the reference driver on CPU against the shared dataset."""
     import torch
 
@@ -242,11 +245,11 @@ def run_reference(root, params, ref_seed=2000):
 
     args = types.SimpleNamespace(
         data_name="synthetic", data_path=root + "/",
-        multi_num=MULTI, MF_lr=0.01, MF_epochs=1, l2=1e-6,
+        multi_num=MULTI, MF_lr=0.01, MF_epochs=MF_EPOCHS, l2=1e-6,
         MF_batch_size=1024, laten=LATENT, pre_model=pre_path,
         MF_sample="all", Load_W_hat=False, clip_grad=False,
         need_adaptive=False, maxnorm_grad=3.0,
-        TR_lr=0.001, TR_l2=1e-4, TR_epochs=1, TR_batch_size=256,
+        TR_lr=0.001, TR_l2=1e-4, TR_epochs=TR_EPOCHS, TR_batch_size=256,
         TR_sample_type="alone", TR_with_MF_bias=False, TR_stop_=False,
         transfer_type="conv_com", seed=ref_seed, numworkers=0, topK=20,
         pass_num=1, norm=False, Lambda_lr=0.01, min_l2=1e-4,
@@ -259,7 +262,7 @@ def run_reference(root, params, ref_seed=2000):
     file_list = [str(i) for i in range(N_PERIODS)]
     test_list = [str(j) for j in range(TEST_START, N_PERIODS)]
     datasets = ref_dataset2.transfer_data(
-        args, path=root + "/", datasetname="synth",
+        args, path=root + "/", datasetname=dataset_name,
         file_path_list=file_list, test_list=test_list,
         validation_list=None, online_train_time=TRAIN_START,
         online_test_time=TEST_START)
