@@ -157,20 +157,10 @@ def bench_torch(inter, n_batches=6):
 
 
 def enable_compile_cache():
-    """Same persistent XLA cache the CLI defaults on (cli.py:318-325):
-    the inner-epoch compile is ~680 s cold on one v5e chip and ~0 s warm."""
-    import os
-    cache = os.environ.get("SML_COMPILE_CACHE",
-                           os.path.expanduser("~/.cache/sml_tpu/xla"))
-    if not cache or cache == "off":
-        return
-    import jax
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except OSError as e:
-        log(f"compile cache disabled: {e}")
+    """Same persistent XLA cache the CLI defaults on — one shared helper
+    so the env var / 'off' sentinel / threshold cannot drift."""
+    from sml_tpu.utils.compile_cache import enable_compile_cache as enable
+    enable(log=log)
 
 
 def main():

@@ -8,13 +8,19 @@ cd /root/repo
 ROOT=/tmp/yelp_scale_r2
 STAMP() { date -u +%H:%M:%S; }
 
-have() { python3 -c "import json,sys; d=json.load(open('$ROOT/results.json')); sys.exit(0 if '$2' in d else 1)" 2>/dev/null; }
+have() { python3 -c "import json,sys; d=json.load(open('$ROOT/results.json')); sys.exit(0 if '$1' in d else 1)" 2>/dev/null; }
 
-until [ -f /tmp/perf_done ]; do sleep 30; done
+# bounded wait: give up on the perf gate after 2h so a dead perf lane
+# cannot strand this one silently (advisor finding, ADVICE.md round 2)
+waited=0
+until [ -f /tmp/perf_done ] || [ $waited -ge 7200 ]; do
+  sleep 30; waited=$((waited + 30))
+  [ $((waited % 600)) -eq 0 ] && echo "[r2f $(STAMP)] still waiting on /tmp/perf_done (${waited}s)"
+done
 
 for seed in 3007 3008 3009 3010 3011 3012; do
   key="probe_reference_seed${seed}"
-  if have $ROOT "$key"; then echo "[r2f $(STAMP)] skip $key"; continue; fi
+  if have "$key"; then echo "[r2f $(STAMP)] skip $key"; continue; fi
   echo "[r2f $(STAMP)] start $key"
   OMP_NUM_THREADS=2 MKL_NUM_THREADS=2 timeout 1800 \
     python scripts/period0_probe.py --side reference --platform cpu \

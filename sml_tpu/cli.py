@@ -315,10 +315,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the axon environment pins "
                         "JAX_PLATFORMS; this overrides it pre-init)")
+    from sml_tpu.utils.compile_cache import default_cache_dir
     p.add_argument("--compile-cache", metavar="DIR",
-                   default=os.environ.get(
-                       "SML_COMPILE_CACHE",
-                       os.path.expanduser("~/.cache/sml_tpu/xla")),
+                   default=default_cache_dir(),
                    help="persistent XLA compilation cache directory "
                         "(default %(default)s; 'off' disables). A cold "
                         "Yelp-scale sweep spends ~85%% of its wall-clock "
@@ -458,16 +457,8 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
-    if args.compile_cache and args.compile_cache != "off":
-        import jax
-        try:
-            os.makedirs(args.compile_cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir",
-                              args.compile_cache)
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.5)
-        except OSError as e:  # unwritable cache dir must never kill a run
-            print(f"compile cache disabled: {e}", file=sys.stderr)
+    from sml_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
     if args.coordinator:
         from sml_tpu.parallel.multihost import init_distributed
         init_distributed(args.coordinator, args.num_processes,

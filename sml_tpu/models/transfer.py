@@ -384,14 +384,13 @@ def apply_tables_sharded(theta: TransferParams, cfg: TransferConfig,
     kernel (``use_pallas`` is passed through).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     def fn(th, lu, hu, li, hi):
         return apply_tables(th, cfg, lu, hu, li, hi,
                             block_rows=block_rows, use_pallas=use_pallas)
 
     row = P("model")
-    return shard_map(fn, mesh=mesh,
-                     in_specs=(P(), row, row, row, row),
-                     out_specs=(row, row))(
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(), row, row, row, row),
+                         out_specs=(row, row))(
         theta, last_user, hat_user, last_item, hat_item)
