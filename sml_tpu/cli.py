@@ -133,12 +133,19 @@ def cmd_sml(args) -> int:
         pretrained_mf=pretrained,
         skip_theta_warmstart=resume_step is not None)
 
-    start = 0
+    start_pass, start_period = 0, 0
     if resume_step is not None:
-        state, start, _ = restore_checkpoint(args.checkpoint_dir, state)
-        start += 1
+        from sml_tpu.train.driver import RunReport
+        state, _, extra = restore_checkpoint(args.checkpoint_dir, state)
+        # pre-extra checkpoints (round <=2) carried only the period in
+        # ``step``; new ones record (pass_id, period, report) in extra
+        start_pass = int(extra.get("pass_id", 0))
+        start_period = int(extra.get("period", resume_step)) + 1
+        if "report" in extra:
+            driver.report = RunReport.from_dict(extra["report"])
         if main_proc:
-            print(f"resumed at period {start}", file=sys.stderr)
+            print(f"resumed at pass {start_pass} period {start_period}",
+                  file=sys.stderr)
     if placement is not None:
         state = placement.state(state)
 
@@ -147,20 +154,24 @@ def cmd_sml(args) -> int:
         return (jax.tree.map(placement.fetch, st)
                 if placement is not None else st)
 
-    driver.feeder.reinit()
-    d_time = 0
-    while True:
-        if d_time >= start:
-            state, ok = driver.run_period(state, d_time)
-            if not ok:
-                break
-            if args.checkpoint_dir:
-                hs = host_state(state)
-                if main_proc:
-                    save_checkpoint(args.checkpoint_dir, d_time, hs)
-        else:
-            driver.feeder.next_train(d_time)  # advance test cursor
-        d_time += 1
+    def on_period_end(st, pass_id, d_time, drv):
+        if not args.checkpoint_dir:
+            return
+        hs = host_state(st)
+        # drain deferred test/eval metrics NOW so the checkpointed report
+        # covers every completed test period: after a crash+resume the
+        # end-of-run weighted summary must equal the uninterrupted run's
+        drv.finalize()
+        if main_proc:
+            save_checkpoint(
+                args.checkpoint_dir,
+                pass_id * spec.num_periods + d_time, hs,
+                extra={"pass_id": pass_id, "period": d_time,
+                       "report": drv.report.to_dict()})
+
+    driver.run(state, start_pass=start_pass, start_period=start_period,
+               on_period_end=on_period_end)
+    state = driver.final_state
 
     if args.save_model:
         hs = host_state(state)
@@ -172,8 +183,7 @@ def cmd_sml(args) -> int:
                      item_bias=np.asarray(hs.mf.item_bias))
             print(f"saved final tables to {args.save_model}", file=sys.stderr)
 
-    driver.finalize()   # drain deferred test/eval metrics into the report
-    summary = driver.report.summary()
+    summary = driver.report.summary()   # run() already finalized
     if main_proc:
         print(json.dumps(summary, indent=2))
     return 0

@@ -53,6 +53,32 @@ class RunReport:
         out["total_seconds"] = float(sum(self.period_seconds))
         return out
 
+    def to_dict(self) -> Dict:
+        """JSON-safe snapshot for checkpoint ``extra``: a resumed run must
+        report over ALL test periods, not just the post-resume ones (the
+        reference's weighting protocol, ``transfer.py:991-1025``)."""
+        return {
+            "topks": list(self.topks),
+            "per_period": {str(k): v for k, v in self.per_period.items()},
+            "per_period_ndcg": {str(k): v
+                                for k, v in self.per_period_ndcg.items()},
+            "test_counts": list(self.test_counts),
+            "period_seconds": list(self.period_seconds),
+            "saddle_retries_used": self.saddle_retries_used,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "RunReport":
+        return cls(
+            topks=tuple(d["topks"]),
+            per_period={int(k): list(v)
+                        for k, v in d["per_period"].items()},
+            per_period_ndcg={int(k): list(v)
+                             for k, v in d["per_period_ndcg"].items()},
+            test_counts=list(d["test_counts"]),
+            period_seconds=list(d["period_seconds"]),
+            saddle_retries_used=int(d.get("saddle_retries_used", 0)))
+
 
 class SMLDriver:
     def __init__(self, cfg: SMLConfig, spec: DataSpec,
@@ -348,25 +374,37 @@ class SMLDriver:
         return state, True
 
     def run(self, state: Optional[SMLState] = None,
-            max_periods: Optional[int] = None) -> RunReport:
+            max_periods: Optional[int] = None,
+            start_pass: int = 0, start_period: int = 0,
+            on_period_end=None) -> RunReport:
         """Full sweep (``meta_train.run``, ``transfer.py:965-1029``).
 
         With ``pass_num > 1`` the warm-up span is replayed: non-final passes
         stop at ``multipass_stop_stage`` (the reference's ``stage_id >= 19``
         break for yelp, ``transfer.py:986-988``); only the final pass runs
         through the test span and reports.
+
+        ``start_pass``/``start_period`` resume mid-sweep (already-done
+        periods of the resume pass advance the feeder's test cursor without
+        training); ``on_period_end(state, pass_id, d_time, driver)`` fires
+        after every trained period — the CLI checkpoints there.
         """
         if state is None:
             state = self.engine.init_state()
-        for pass_id in range(self.cfg.pass_num):
+        for pass_id in range(start_pass, self.cfg.pass_num):
             final_pass = pass_id == self.cfg.pass_num - 1
             self.feeder.reinit()
             self._eval_cache.clear()
             d_time = 0
             while max_periods is None or d_time < max_periods:
-                state, ok = self.run_period(state, d_time)
-                if not ok:
-                    break
+                if pass_id == start_pass and d_time < start_period:
+                    self.feeder.next_train(d_time)  # advance test cursor
+                else:
+                    state, ok = self.run_period(state, d_time)
+                    if not ok:
+                        break
+                    if on_period_end is not None:
+                        on_period_end(state, pass_id, d_time, self)
                 d_time += 1
                 if not final_pass and d_time >= self._stop_stage:
                     break
