@@ -73,6 +73,7 @@ def cmd_sml(args) -> int:
         mf_sample=args.mf_sample, tr_sample_type=args.tr_sample_type,
         tr_stop=args.tr_stop, load_w_hat=args.load_w_hat,
         pass_num=args.pass_num, seed=args.seed,
+        attributed_eval=args.attributed_eval,
         emb_init_scale=args.emb_init_scale,
         eval_during_inner=args.eval_during_inner,
         eval_during_outer=args.eval_during_outer,
@@ -370,6 +371,12 @@ def main(argv=None) -> int:
                     help="restore MF <- W_hat after each outer step "
                          "(reference --Load_W_hat)")
     ps.add_argument("--pass-num", type=int, default=1)
+    ps.add_argument("--attributed-eval", action="store_true",
+                    help="per-test-period hit attribution by entity "
+                         "freshness (new users/items), logged as "
+                         "kind='test_attribution' jsonl records (the "
+                         "reference's test_model_pre analysis); needs "
+                         "test_new_user.npy/test_new_item.npy")
     ps.add_argument("--emb-init-scale", type=float, default=1.0)
     ps.add_argument("--eval-during-inner", action="store_true")
     ps.add_argument("--eval-during-outer", action="store_true")

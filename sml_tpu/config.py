@@ -168,6 +168,14 @@ class SMLConfig:
     # evaluation
     topk: Sequence[int] = (5, 10, 20)
     eval_batch_size: int = 1024
+    # Per-test-period hit attribution by entity freshness (the reference's
+    # ``test_model_pre`` analysis, ``evalution/evaluation2.py:28-70``):
+    # hits on new users / new items per K plus the four old/new-user x
+    # old/new-item bucket counts at max K, logged as kind="test_attribution"
+    # jsonl records. Needs ``test_new_user.npy``/``test_new_item.npy`` next
+    # to the dataset (``model/baseline.py:566-567``); silently skipped if
+    # the files are absent.
+    attributed_eval: bool = False
 
     # on-device rejection sampling: candidate draws per row ('alone' mode)
     neg_tries: int = 16

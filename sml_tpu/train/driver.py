@@ -116,6 +116,22 @@ class SMLDriver:
         # ~30 ms — so test metrics resolve in ``finalize()`` (run end),
         # long after their compute finished.
         self._pending_tests: List[tuple] = []
+        # hit attribution by entity freshness on the SML path (the
+        # reference's test_model_pre analysis, evalution2.py:28-70): dense
+        # new-entity masks built once from the dataset's id files
+        self._is_new_user = self._is_new_item = None
+        self._pending_attr: List[tuple] = []
+        if cfg.attributed_eval:
+            import jax.numpy as jnp
+            ids = _load_new_entity_ids(spec.path)
+            if ids is not None:
+                nu, ni = ids
+                self._is_new_user = jnp.zeros(
+                    self.engine.n_users, jnp.float32).at[
+                        jnp.asarray(nu, jnp.int32)].set(1.0)
+                self._is_new_item = jnp.zeros(
+                    self.engine.n_items, jnp.float32).at[
+                        jnp.asarray(ni, jnp.int32)].set(1.0)
         # non-final multi-pass passes stop at the end of the warm-up span
         # (reference hardcodes 19 for yelp = 30 - 10 - 1 and notes "news need
         # be different", transfer.py:986)
@@ -258,6 +274,12 @@ class SMLDriver:
                     k, []).append(mm["ndcg"])
             self.logger.log(kind="test", period=period, n_test=n,
                             **_flatten(m))
+        if self._pending_attr:
+            pend, self._pending_attr = self._pending_attr, []
+            attrs = self.engine.resolve_attributed([d for _, d in pend])
+            for (period, _), rec in zip(pend, attrs):
+                self.logger.log(kind="test_attribution", period=period,
+                                **rec)
 
     def finalize(self) -> None:
         """Drain every deferred eval/test into the report and the log.
@@ -281,10 +303,17 @@ class SMLDriver:
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:
         padded = self._eval_cache.pop((period, "test"), None)
+        if padded is None:
+            padded = self.engine.make_eval_set(now_test)
         self._pending_tests.append((
             period, int(now_test.shape[0]),
-            self.engine.evaluate_deferred(
-                state.mf, padded if padded is not None else now_test)))
+            self.engine.evaluate_deferred(state.mf, padded)))
+        if self._is_new_user is not None:
+            self._pending_attr.append((
+                period,
+                self.engine.evaluate_attributed_deferred(
+                    state.mf, padded,
+                    self._is_new_user, self._is_new_item)))
 
     # ----------------------------------------------------------------- periods
     def run_period(self, state: SMLState, d_time: int):
@@ -412,6 +441,17 @@ class SMLDriver:
         self.finalize()
         self.logger.log(kind="summary", **self.report.summary())
         return self.report
+
+
+def _load_new_entity_ids(path: str):
+    """Optional ``test_new_user.npy`` / ``test_new_item.npy`` next to the
+    dataset (``model/baseline.py:566-567``); None when absent."""
+    try:
+        nu = np.load(f"{path}/test_new_user.npy").astype(np.int64)
+        ni = np.load(f"{path}/test_new_item.npy").astype(np.int64)
+    except FileNotFoundError:
+        return None
+    return nu, ni
 
 
 def _copy_state(state: SMLState) -> SMLState:

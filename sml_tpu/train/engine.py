@@ -71,6 +71,7 @@ class SMLEngine:
         self._outer = jax.jit(make_outer_epoch(cfg, self.tr_tx),
                               donate_argnums=(0, 1))
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._eval_attr = None   # lazily-jitted attributed evaluator
         self._refresh_impl = functools.partial(
             transfer_mod.apply_tables, cfg=cfg.transfer)
         self._refresh = jax.jit(self._refresh_impl)
@@ -500,3 +501,48 @@ class SMLEngine:
         """recall@K / NDCG@K over eval-format rows (numpy or a cached
         ``make_eval_set`` result); all Ks in one pass."""
         return self.resolve_evals([self.evaluate_deferred(mf, test_rows)])[0]
+
+    def evaluate_attributed_deferred(self, mf: MFParams, test_rows,
+                                     is_new_user, is_new_item):
+        """Dispatch the hit-attribution evaluator (``test_model_pre``,
+        ``evalution/evaluation2.py:28-70``) without fetching: returns
+        (device-dict, n_real). Resolve with :meth:`resolve_attributed`."""
+        if self._eval_attr is None:
+            from sml_tpu.eval.evaluator import make_attributed_eval_fn
+            self._eval_attr = jax.jit(make_attributed_eval_fn(
+                self.cfg.topk, self.cfg.eval_batch_size))
+        padded = (test_rows if isinstance(test_rows, PaddedRows)
+                  else self.make_eval_set(test_rows))
+        return (self._eval_attr(mf, padded.rows, padded.mask,
+                                is_new_user, is_new_item),
+                max(padded.n_real, 1))
+
+    def resolve_attributed(self, deferred):
+        """Materialize ``evaluate_attributed_deferred`` results in one host
+        fetch. Per result: hit shares per K for new users/items and the
+        reference's two bucket normalizations (share of all hits, share of
+        the test count) at max K."""
+        if not deferred:
+            return []
+        if self.placement is not None:
+            fetched = [(jax.tree.map(self.placement.fetch, out), n)
+                       for out, n in deferred]
+        else:
+            fetched = jax.device_get(deferred)
+        results = []
+        for out, n in fetched:
+            buckets = [float(x) for x in out["buckets_at_max_k"]]
+            all_hits = max(sum(buckets), 1.0)
+            rec = {}
+            for k in self.cfg.topk:
+                rec[f"hit_share_new_user@{k}"] = \
+                    float(out["hit_new_user"][k]) / n
+                rec[f"hit_share_new_item@{k}"] = \
+                    float(out["hit_new_item"][k]) / n
+            for name, v in zip(("old_user_old_item", "old_user_new_item",
+                                "new_user_old_item", "new_user_new_item"),
+                               buckets):
+                rec[f"{name}_of_hits"] = v / all_hits
+                rec[f"{name}_of_test"] = v / n
+            results.append(rec)
+        return results
