@@ -126,7 +126,8 @@ def phase_ours(args):
                     log_norms=bool(args.log),
                     theta_warmstart_steps=args.warmstart,
                     theta_seed=args.theta_seed,
-                    saddle_retries=args.saddle_retries)
+                    saddle_retries=args.saddle_retries,
+                    uniform_shapes=not args.per_period_shapes)
     dspec = dspec_for(args.root)
     logger = MetricsLogger(args.log) if args.log else None
     driver = SMLDriver(cfg, dspec, logger=logger)
@@ -198,6 +199,9 @@ def main():
                     help="ours: freeze theta init to this seed while "
                          "--seed varies the data stream (variance "
                          "ablation)")
+    ap.add_argument("--per-period-shapes", action="store_true",
+                    help="ours: disable uniform sweep-wide shape buckets "
+                         "(round-2 per-period bucketing, for A/B timing)")
     args = ap.parse_args()
     if args.platform:
         import jax

@@ -74,6 +74,7 @@ def cmd_sml(args) -> int:
         tr_stop=args.tr_stop, load_w_hat=args.load_w_hat,
         pass_num=args.pass_num, seed=args.seed,
         attributed_eval=args.attributed_eval,
+        uniform_shapes=not args.per_period_shapes,
         emb_init_scale=args.emb_init_scale,
         eval_during_inner=args.eval_during_inner,
         eval_during_outer=args.eval_during_outer,
@@ -378,6 +379,10 @@ def main(argv=None) -> int:
                          "reference's test_model_pre analysis); needs "
                          "test_new_user.npy/test_new_item.npy")
     ps.add_argument("--emb-init-scale", type=float, default=1.0)
+    ps.add_argument("--per-period-shapes", action="store_true",
+                    help="disable uniform sweep-wide shape buckets and pad "
+                         "each period to its own bucket (more XLA "
+                         "compilations, marginally less padding)")
     ps.add_argument("--eval-during-inner", action="store_true")
     ps.add_argument("--eval-during-outer", action="store_true")
     ps.add_argument("--saddle-retries", type=int, default=0,

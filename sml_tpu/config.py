@@ -145,6 +145,17 @@ class SMLConfig:
     # combined tables exceed FAST_TABLE_ADAM_AUTO_ROWS.
     fast_table_adam: Optional[bool] = None
 
+    # Uniform shape buckets: pad every period of each stream (set_t /
+    # set_tt / eval rows, and the sampling index) to ONE sweep-wide shape
+    # derived from an npy-header scan of the period files. XLA then
+    # compiles each op once per sweep instead of once per period-size
+    # bucket — round 2's faithful cold sweep spent ~700 s compiling shape
+    # variants, including a 328 s mid-sweep spike when the test span's
+    # buckets first appeared. Runtime cost of the padding is scan
+    # iterations whose batches are lax.cond no-ops, plus slack rows on the
+    # host->device link. Off = round-2 per-period bucketing (granularity 8).
+    uniform_shapes: bool = True
+
     # Fuse each SML phase (inner epochs -> hat -> refresh -> outer epochs)
     # into ONE jitted dispatch (SMLEngine.phase_step). Same op sequence and
     # key stream as the epoch-at-a-time path; saves ~4 host round-trips per

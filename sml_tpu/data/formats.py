@@ -49,6 +49,19 @@ def load_test(path: str, period: int) -> Optional[np.ndarray]:
     return np.asarray(np.load(f), dtype=np.int64)
 
 
+def row_count(path: str, kind: str, period: int) -> Optional[int]:
+    """Row count of ``<path>/<kind>/<period>.npy`` from the npy header alone
+    (no data read) — the cheap sweep-wide shape scan behind uniform
+    bucketing."""
+    f = os.path.join(path, kind, f"{period}.npy")
+    if not os.path.exists(f):
+        return None
+    with open(f, "rb") as fh:
+        version = np.lib.format.read_magic(fh)
+        shape, _, _ = np.lib.format._read_array_header(fh, version)
+    return int(shape[0])
+
+
 def write_dataset(path: str,
                   train_periods: Sequence[np.ndarray],
                   test_periods: Dict[int, np.ndarray],

@@ -49,6 +49,9 @@ class PrefetchingFeeder:
     def info(self):
         return self._inner.info
 
+    def shape_bounds(self) -> dict:
+        return self._inner.shape_bounds()
+
     def reinit(self) -> None:
         self._cancel()
         self._inner.reinit()

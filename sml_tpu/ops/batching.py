@@ -45,8 +45,14 @@ class PaddedRows(NamedTuple):
 
 
 def pad_rows(arr: np.ndarray, batch_size: int,
-             granularity: int = 8) -> PaddedRows:
+             granularity: int = 8, pad_to: int = 0) -> PaddedRows:
     """Pad a host int array (N, C) to a bucketed shape and ship to device.
+
+    ``pad_to`` raises the bucket to a caller-chosen floor (itself rounded
+    up to a batch multiple): padding every period of a stream to ONE
+    sweep-wide shape means XLA compiles each op once per sweep instead of
+    once per period-size bucket. Skipped tail batches are ``lax.cond``
+    no-ops, so the extra rows cost scan iterations, not compute.
 
     Ids that fit uint16 travel the host->device link half-width and widen
     to int32 on device: the eval sets are (rows, 1+1000) id matrices
@@ -54,6 +60,9 @@ def pad_rows(arr: np.ndarray, batch_size: int,
     remote-TPU tunnel dominates the test span's wall-clock."""
     n = arr.shape[0]
     n_pad = bucket_rows(n, batch_size, granularity)
+    if pad_to:
+        floor = -(-pad_to // batch_size) * batch_size
+        n_pad = max(n_pad, floor)
     out = np.zeros((n_pad, arr.shape[1]), dtype=np.int32)
     out[:n] = arr
     mask = np.zeros((n_pad,), dtype=np.float32)

@@ -96,29 +96,37 @@ class PeriodIndex(NamedTuple):
 
 
 def build_period_index(interactions: np.ndarray, n_items: int,
-                       pad_to_multiple: int = 1024) -> PeriodIndex:
+                       pad_to_multiple: int = 1024,
+                       min_rows: int = 0) -> PeriodIndex:
     """Build the device-side sampling index for one period's interactions.
 
     ``n_items`` is accepted for interface stability (the hash does not need
-    it) and validated against the data.
+    it) and validated against the data. ``min_rows`` (a sweep-wide row-count
+    bound) floors the padded pool/hash lengths and the bloom size so every
+    period's index has ONE shape — a per-period index shape would recompile
+    every op that closes over it. A larger bloom only lowers its
+    false-positive rate; the padded tails are never read (``pool_size`` /
+    MAX-sentinel binary search).
     """
     users = interactions[:, 0]
     items = interactions[:, 1]
     assert items.max(initial=0) < n_items
     pool = np.unique(items)
     psize = int(pool.shape[0])
-    ppad = -(-psize // pad_to_multiple) * pad_to_multiple
+    pfloor = max(psize, min(min_rows, n_items))
+    ppad = -(-pfloor // pad_to_multiple) * pad_to_multiple
     pool_padded = np.concatenate(
         [pool, np.full(ppad - psize, pool[0], dtype=pool.dtype)])
 
     hashes = np.unique(_hash_pair_np(users, items))
-    kpad = -(-hashes.shape[0] // pad_to_multiple) * pad_to_multiple
+    kfloor = max(hashes.shape[0], min_rows)
+    kpad = -(-kfloor // pad_to_multiple) * pad_to_multiple
     hashes_padded = np.concatenate(
         [hashes, np.full(kpad - hashes.shape[0], np.uint32(0xFFFFFFFF))])
 
     # Bloom filter: 2 probes per key; sized to the next power of two
     m_bits = 1024
-    while m_bits < _BLOOM_BITS_PER_KEY * hashes.shape[0]:
+    while m_bits < _BLOOM_BITS_PER_KEY * max(hashes.shape[0], min_rows):
         m_bits <<= 1
     mask = np.uint32(m_bits - 1)
     words = np.zeros(m_bits // 32, dtype=np.uint32)

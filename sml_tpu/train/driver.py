@@ -93,6 +93,9 @@ class SMLDriver:
             self.feeder = PrefetchingFeeder(self.feeder)
         self.engine = engine or SMLEngine(
             cfg, self.feeder.n_users, self.feeder.n_items)
+        if cfg.uniform_shapes and not cfg.replay_mode:
+            # one sweep-wide shape per stream -> one compile per op
+            self.engine.shape_targets = self.feeder.shape_bounds()
         # overlap the big (rows, 1001) eval-set uploads with training: the
         # prefetch worker pads + device_puts period t+1's test/val sets
         # while the device trains period t

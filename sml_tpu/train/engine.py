@@ -83,6 +83,10 @@ class SMLEngine:
         self.mesh = None
         # latest sampler quality probe per block kind (log_norms diagnostics)
         self.sampler_stats: Dict[str, float] = {}
+        # sweep-wide row-count bounds per stream kind ("set_t"/"set_tt"/
+        # "eval"), set by the driver from the feeder's npy-header scan:
+        # uniform padding floors so each op compiles ONCE per sweep
+        self.shape_targets: Dict[str, int] = {}
         # optional multi-host placement strategy
         # (``parallel.multihost.MultihostPlacement``): when set, every padded
         # batch / sampling index built here is turned into a global array so
@@ -286,16 +290,18 @@ class SMLEngine:
 
     # ------------------------------------------------------------- data prep
     def prep_inner(self, set_t: np.ndarray):
-        padded = pad_rows(set_t, self.cfg.mf_batch_size)
-        index = (build_period_index(set_t, self.n_items)
+        bound = self.shape_targets.get("set_t", 0)
+        padded = pad_rows(set_t, self.cfg.mf_batch_size, pad_to=bound)
+        index = (build_period_index(set_t, self.n_items, min_rows=bound)
                  if self.cfg.mf_sample == "alone"
                  and not self.cfg.replay_mode else None)
         self._probe_sampler("inner", index, set_t)
         return self._place(padded, index)
 
     def prep_outer(self, set_tt: np.ndarray):
-        padded = pad_rows(set_tt, self.cfg.tr_batch_size)
-        index = (build_period_index(set_tt, self.n_items)
+        bound = self.shape_targets.get("set_tt", 0)
+        padded = pad_rows(set_tt, self.cfg.tr_batch_size, pad_to=bound)
+        index = (build_period_index(set_tt, self.n_items, min_rows=bound)
                  if self.cfg.tr_sample_type == "alone"
                  and not self.cfg.replay_mode else None)
         self._probe_sampler("outer", index, set_tt)
@@ -462,7 +468,8 @@ class SMLEngine:
         ``multi_num * (mf_epochs + tr_epochs)`` times per period; re-uploading
         the (rows, 1001) candidate array each time costs ~2 s over the axon
         tunnel and dominated the eval-faithful sweep (3.4x instead of >5x)."""
-        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        padded = pad_rows(test_rows, self.cfg.eval_batch_size,
+                          pad_to=self.shape_targets.get("eval", 0))
         if self.placement is not None:
             padded = self.placement.batch(padded)
         return padded
