@@ -14,6 +14,7 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -92,13 +93,19 @@ def bench_jax(inter, mf_sample, rng):
     return ex_per_s
 
 
-def bench_torch(inter, n_batches=6):
+def bench_torch(inter, min_trial_seconds=10.0, trials=3):
     """Reference-equivalent inner loop in PyTorch on CPU (own implementation
     of the same math: lookups -> x_com conv transfer -> BCE + L2 -> dense
-    Adam on the tables)."""
+    Adam on the tables).
+
+    Round 2's 6-batch (~0.5-1 s) sample swung 2x between rounds from host
+    noise alone (VERDICT r2 Weak #1). Now: threads pinned, a warmup batch,
+    then ``trials`` timed windows of >=``min_trial_seconds`` each (>=30 s
+    total), reporting the MEDIAN trial throughput."""
     import torch
 
     torch.manual_seed(0)
+    torch.set_num_threads(min(4, os.cpu_count() or 4))
     d = DIM
     user_emb = torch.nn.Embedding(N_USERS, d)
     item_emb = torch.nn.Embedding(N_ITEMS, d)
@@ -128,12 +135,11 @@ def bench_torch(inter, n_batches=6):
                            + list(item_emb.parameters()), lr=0.01)
     rng = np.random.default_rng(0)
 
-    n = min(n_batches * BATCH, inter.shape[0])
-    rows = inter[rng.permutation(inter.shape[0])[:n]]
-    t0 = time.time()
-    done = 0
-    for b in range(0, n, BATCH):
-        chunk = rows[b:b + BATCH]
+    rows = inter[rng.permutation(inter.shape[0])]
+    n_rows = rows.shape[0]
+
+    def one_batch(b):
+        chunk = rows[(b * BATCH) % (n_rows - BATCH):][:BATCH]
         u = torch.from_numpy(chunk[:, 0])
         i = torch.from_numpy(chunk[:, 1])
         j = torch.from_numpy(rng.integers(0, N_ITEMS, chunk.shape[0]))
@@ -149,11 +155,26 @@ def bench_torch(inter, n_batches=6):
                             + item_emb(j) ** 2).sum()
         loss.backward()
         opt.step()
-        done += chunk.shape[0]
-    dt = time.time() - t0
-    ex_per_s = done / dt
-    log(f"torch-cpu: {done} examples in {dt:.2f}s -> {ex_per_s:,.0f} ex/s")
-    return ex_per_s
+        return chunk.shape[0]
+
+    one_batch(0)                                    # warmup (allocations)
+    b = 1
+    rates = []
+    for trial in range(trials):
+        t0 = time.time()
+        done = 0
+        while time.time() - t0 < min_trial_seconds:
+            done += one_batch(b)
+            b += 1
+        dt = time.time() - t0
+        rates.append(done / dt)
+        log(f"torch-cpu trial {trial}: {done} examples in {dt:.2f}s "
+            f"-> {done / dt:,.0f} ex/s")
+    med = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / med if med else float("nan")
+    log(f"torch-cpu: median {med:,.0f} ex/s over {trials} trials "
+        f"(spread {spread:.1%}, threads={torch.get_num_threads()})")
+    return med
 
 
 def enable_compile_cache():
