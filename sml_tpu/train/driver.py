@@ -220,11 +220,14 @@ class SMLDriver:
         saddle = 2.0 * float(np.log(2.0))
         thresh = self.cfg.saddle_frac * saddle
         final_thresh = self.cfg.saddle_final_frac * saddle
+        # protocols with fewer phases than the calibrated check index still
+        # get exactly one early check (at their last phase)
+        check_phase = min(self.cfg.saddle_check_phase, self.cfg.multi_num - 1)
         for phase in range(self.cfg.multi_num):
             state = self._one_phase(state, prep_t, prep_tt, val)
             self._log_phase(state, d_time, phase)
             if guard and (
-                    (phase == self.cfg.saddle_check_phase
+                    (phase == check_phase
                      and self._last_outer_loss > thresh)
                     or (phase == self.cfg.multi_num - 1
                         and self._last_outer_loss > final_thresh)):
