@@ -126,7 +126,7 @@ def inner_step_roofline():
     }
 
 
-def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 6_291_456)):
+def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -148,6 +148,9 @@ def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 6_291_456)):
         hi = jax.random.normal(key, (ni, DIM))
 
         def once(reps):
+            # donate nothing (timed() re-runs with the same buffers), but
+            # keep the carry = the input tuple so XLA reuses ONE set of
+            # table buffers through the scan instead of accumulating copies
             @jax.jit
             def run(lu, hu, li, hi):
                 def body(c, _):
@@ -160,8 +163,13 @@ def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 6_291_456)):
                 return c
             return run
 
-        t1, _ = timed(once(1), lu, hu, li, hi)
-        t17, _ = timed(once(17), lu, hu, li, hi)
+        try:
+            t1, _ = timed(once(1), lu, hu, li, hi)
+            t17, _ = timed(once(17), lu, hu, li, hi)
+        except Exception as e:   # e.g. HBM exhaustion at the largest size
+            log(f"refresh rows={rows}: skipped ({type(e).__name__})")
+            del lu, hu, li, hi
+            continue
         per_call = (t17 - t1) / 16          # dispatch/sync overhead cancels
         overhead = t1 - per_call
         # bytes: read last+hat, write out = 3 passes x rows x d x 4
@@ -226,7 +234,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     sizes = (16_384, 65_536) if args.smoke else \
-        (131_072, 524_288, 2_097_152, 6_291_456)
+        (131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)
     res = {
         "device": str(jax.devices()[0]),
         "peaks": {"hbm_bytes_s": HBM_BYTES_S, "bf16_flops": BF16_FLOPS},

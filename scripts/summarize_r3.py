@@ -1,0 +1,121 @@
+"""Round-3 evidence tables: the parity denominator and the perf story.
+
+Reads the Yelp-scale campaign results (default /tmp/yelp_scale_r2 —
+round 3 appends to the round-2 root) and the Adressa root, and prints the
+tables BASELINE.md quotes:
+
+  1. Reference full-sweep seed distribution at Yelp scale (the round-2
+     VERDICT's #1 ask) vs ours unguarded (n=16, r2 shapes) vs ours guarded
+     vs the round-3 uniform-shape guarded fleet — all on BOTH metrics
+     (mean per-period recall@20 and the weighted val/test split,
+     transfer.py:991-1025), so the r2 metric-mismatch cannot recur.
+  2. Adressa (news protocol) ours vs reference per seed.
+  3. Perf: cold/warm A/B (uniform vs per-period shapes) and steady state.
+
+Usage: python scripts/summarize_r3.py [--root /tmp/yelp_scale_r2]
+           [--adressa /tmp/adressa_r3] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import statistics
+
+
+def load(path):
+    f = os.path.join(path, "results.json")
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def meanpp(rec):
+    v = rec.get("per_period_recall@20")
+    return statistics.fmean(v) if v else None
+
+
+def wtest(rec):
+    return rec.get("summary", {}).get("test_recall@20")
+
+
+def stats(vals):
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return None
+    return {"n": len(vals), "mean": round(statistics.fmean(vals), 5),
+            "std": round(statistics.pstdev(vals), 5) if len(vals) > 1 else 0.0,
+            "min": round(min(vals), 5), "max": round(max(vals), 5)}
+
+
+def group(d, prefix, exclude=()):
+    out = {}
+    for k, v in d.items():
+        if k.startswith(prefix) and not any(x in k for x in exclude) \
+                and isinstance(v, dict) and "per_period_recall@20" in v:
+            out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/yelp_scale_r2")
+    ap.add_argument("--adressa", default="/tmp/adressa_r3")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    d = load(args.root)
+    da = load(args.adressa)
+    doc = {}
+
+    print("== 1. Yelp-scale seed distributions (mean per-period r@20 | "
+          "weighted test r@20)")
+    groups = {
+        "reference full sweeps": group(d, "reference_seed"),
+        "ours unguarded (r2 shapes, n=16)": group(d, "ours_nows_seed"),
+        "ours guarded (r2 shapes, bad seeds)": group(d, "ours_guard3_seed"),
+        "ours r3 uniform+guard fleet": group(d, "ours_r3u_guard_seed"),
+    }
+    for name, g in groups.items():
+        mp = stats([meanpp(v) for v in g.values()])
+        wt = stats([wtest(v) for v in g.values()])
+        doc[name] = {"mean_pp": mp, "weighted_test": wt,
+                     "runs": {k: {"mean_pp": round(meanpp(v), 5),
+                                  "weighted_test": wtest(v),
+                                  "seconds": v.get("total_seconds")}
+                              for k, v in sorted(g.items())}}
+        print(f"  {name}: mean_pp={mp} weighted={wt}")
+
+    print("== 2. Adressa (news protocol) per seed")
+    doc["adressa"] = {}
+    for k in sorted(da):
+        v = da[k]
+        if not isinstance(v, dict):
+            continue
+        if k.startswith("reference_seed") or k == "sml" \
+                or k.startswith("sml_seed"):
+            doc["adressa"][k] = {
+                "weighted_test": wtest(v), "mean_pp": meanpp(v),
+                "seconds": v.get("total_seconds")}
+            print(f"  {k}: weighted={wtest(v)} mean_pp={meanpp(v)}")
+
+    print("== 3. Perf lanes")
+    doc["perf"] = {}
+    for k in sorted(d):
+        if k.startswith(("perf_r3", "ours_faithful", "perf_r2d")):
+            v = d[k]
+            ps = v.get("period_seconds", [])
+            doc["perf"][k] = {
+                "total": v.get("total_seconds"),
+                "p0": ps[0] if ps else None,
+                "steady_mean": round(statistics.fmean(ps[1:]), 3)
+                if len(ps) > 1 else None}
+            print(f"  {k}: {doc['perf'][k]}")
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
