@@ -520,6 +520,11 @@ class SMLEngine:
                 self.cfg.topk, self.cfg.eval_batch_size))
         padded = (test_rows if isinstance(test_rows, PaddedRows)
                   else self.make_eval_set(test_rows))
+        if self.placement is not None:
+            # masks are host-built single-device arrays; the jitted eval
+            # needs them on the global mesh like every other operand
+            is_new_user = self.placement.replicated(np.asarray(is_new_user))
+            is_new_item = self.placement.replicated(np.asarray(is_new_item))
         return (self._eval_attr(mf, padded.rows, padded.mask,
                                 is_new_user, is_new_item),
                 max(padded.n_real, 1))
