@@ -22,6 +22,62 @@ def _cfg():
                      mf_sample="alone")
 
 
+def test_multipass_resume_summary_equality(synthetic_dataset, tmp_path):
+    """Crash mid-FINAL-pass of a pass_num=2 run, resume via the checkpoint
+    extra (pass_id, period, report) exactly as the CLI does: the resumed
+    run's weighted summary must equal the uninterrupted run's."""
+    from sml_tpu.train.driver import RunReport
+
+    dspec, info, spec = synthetic_dataset
+    cfg = _cfg().replace(pass_num=2)
+
+    engine_a = SMLEngine(cfg, info.n_users, info.n_items)
+    driver_a = SMLDriver(cfg, dspec, engine=engine_a)
+    report_a = driver_a.run(engine_a.init_state())
+    assert len(report_a.test_counts) == 3
+
+    class Crash(Exception):
+        pass
+
+    ck = str(tmp_path / "ck")
+    engine_b = SMLEngine(cfg, info.n_users, info.n_items)
+    driver_b = SMLDriver(cfg, dspec, engine=engine_b)
+
+    def save_and_maybe_crash(st, pass_id, d_time, drv):
+        drv.finalize()
+        save_checkpoint(ck, pass_id * 100 + d_time, st,
+                        extra={"pass_id": pass_id, "period": d_time,
+                               "report": drv.report.to_dict()})
+        if pass_id == 1 and d_time == 1:   # after the 1st test period
+            raise Crash()
+
+    try:
+        driver_b.run(engine_b.init_state(),
+                     on_period_end=save_and_maybe_crash)
+        raise AssertionError("crash did not fire")
+    except Crash:
+        pass
+    assert len(driver_b.report.test_counts) == 1   # pre-crash test period
+
+    engine_c = SMLEngine(cfg, info.n_users, info.n_items)
+    driver_c = SMLDriver(cfg, dspec, engine=engine_c)
+    template = engine_c.init_state()
+    state_c, _, extra = restore_checkpoint(ck, template)
+    driver_c.report = RunReport.from_dict(extra["report"])
+    report_c = driver_c.run(state_c,
+                            start_pass=int(extra["pass_id"]),
+                            start_period=int(extra["period"]) + 1)
+
+    assert report_c.test_counts == report_a.test_counts
+    for k, vals in report_a.per_period.items():
+        np.testing.assert_array_equal(np.asarray(report_c.per_period[k]),
+                                      np.asarray(vals), err_msg=f"K={k}")
+    sa, sc = report_a.summary(), report_c.summary()
+    for key, v in sa.items():
+        if key != "total_seconds":
+            assert sc[key] == v, (key, sc[key], v)
+
+
 def test_resume_reproduces_uninterrupted_run(synthetic_dataset, tmp_path):
     dspec, info, spec = synthetic_dataset
 
