@@ -139,7 +139,10 @@ def bench_torch(inter, min_trial_seconds=10.0, trials=3):
     n_rows = rows.shape[0]
 
     def one_batch(b):
-        chunk = rows[(b * BATCH) % (n_rows - BATCH):][:BATCH]
+        if n_rows <= BATCH:
+            chunk = rows
+        else:
+            chunk = rows[(b * BATCH) % (n_rows - BATCH):][:BATCH]
         u = torch.from_numpy(chunk[:, 0])
         i = torch.from_numpy(chunk[:, 1])
         j = torch.from_numpy(rng.integers(0, N_ITEMS, chunk.shape[0]))

@@ -65,14 +65,8 @@ def load_pre(root):
 
 
 def probe_ours(args):
-    import jax
-    cache = os.environ.get("SML_COMPILE_CACHE", "/tmp/sml_xla_cache")
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:
-        log("compile cache unavailable:", e)
+    from sml_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(log=lambda m: log(m))
     from sml_tpu.config import DataSpec, SMLConfig, TransferConfig
     from sml_tpu.train.driver import SMLDriver
     from sml_tpu.utils.logging import MetricsLogger

@@ -18,6 +18,11 @@ waited=0
 until [ -f /tmp/perf_done_r3 ] || [ $waited -ge 5400 ]; do
   sleep 30; waited=$((waited + 30))
 done
+# a fallthrough means the perf lane is still measuring: say so loudly so
+# its "quiet host" numbers are known-contaminated rather than silently so
+[ -f /tmp/perf_done_r3 ] || \
+  echo "[yref$CORE $(STAMP)] WARNING: perf gate never appeared - starting" \
+       "anyway; perf_r3 timings recorded after this point are NOT quiet-host"
 
 for seed in "$@"; do
   key="reference_seed${seed}"

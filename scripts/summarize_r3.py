@@ -79,7 +79,9 @@ def main():
         mp = stats([meanpp(v) for v in g.values()])
         wt = stats([wtest(v) for v in g.values()])
         doc[name] = {"mean_pp": mp, "weighted_test": wt,
-                     "runs": {k: {"mean_pp": round(meanpp(v), 5),
+                     "runs": {k: {"mean_pp": (round(m, 5)
+                                              if (m := meanpp(v)) is not None
+                                              else None),
                                   "weighted_test": wtest(v),
                                   "seconds": v.get("total_seconds")}
                               for k, v in sorted(g.items())}}

@@ -103,15 +103,10 @@ def phase_pretrain(args):
 def phase_ours(args):
     import jax
     # persistent XLA compile cache shared across seed runs: one cold run
-    # compiles the sweep's ~10 shape buckets (each 20-40 s over the remote
-    # TPU tunnel); every later run loads them instead
-    cache = os.environ.get("SML_COMPILE_CACHE", "/tmp/sml_xla_cache")
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # cache is an optimization, never a requirement
-        log("compile cache unavailable:", e)
+    # compiles the sweep's shape buckets; every later run loads them.
+    # One shared helper owns the env var / 'off' sentinel / threshold.
+    from sml_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(log=lambda m: log(m))
     from sml_tpu.config import SMLConfig, TransferConfig
     from sml_tpu.train.driver import SMLDriver
     from sml_tpu.utils.logging import MetricsLogger

@@ -58,7 +58,9 @@ def row_count(path: str, kind: str, period: int) -> Optional[int]:
         return None
     with open(f, "rb") as fh:
         version = np.lib.format.read_magic(fh)
-        shape, _, _ = np.lib.format._read_array_header(fh, version)
+        reader = (np.lib.format.read_array_header_1_0 if version == (1, 0)
+                  else np.lib.format.read_array_header_2_0)
+        shape, _, _ = reader(fh)
     return int(shape[0])
 
 

@@ -61,8 +61,10 @@ def pad_rows(arr: np.ndarray, batch_size: int,
     n = arr.shape[0]
     n_pad = bucket_rows(n, batch_size, granularity)
     if pad_to:
-        floor = -(-pad_to // batch_size) * batch_size
-        n_pad = max(n_pad, floor)
+        # bucket the floor itself: a ceil-to-batch floor would give the
+        # stream's largest period (whose natural bucket is coarser) a
+        # different shape than everyone else's, recompiling mid-sweep
+        n_pad = max(n_pad, bucket_rows(pad_to, batch_size, granularity))
     out = np.zeros((n_pad, arr.shape[1]), dtype=np.int32)
     out[:n] = arr
     mask = np.zeros((n_pad,), dtype=np.float32)

@@ -311,15 +311,19 @@ class SMLDriver:
         padded = self._eval_cache.pop((period, "test"), None)
         if padded is None:
             padded = self.engine.make_eval_set(now_test)
-        self._pending_tests.append((
-            period, int(now_test.shape[0]),
-            self.engine.evaluate_deferred(state.mf, padded)))
+        n_real = int(now_test.shape[0])
         if self._is_new_user is not None:
-            self._pending_attr.append((
-                period,
-                self.engine.evaluate_attributed_deferred(
-                    state.mf, padded,
-                    self._is_new_user, self._is_new_item)))
+            # the attributed kernel already accumulates the base hit/NDCG
+            # sums — reuse them instead of scoring all 1001 candidates a
+            # second time with the plain evaluator
+            attr, n = self.engine.evaluate_attributed_deferred(
+                state.mf, padded, self._is_new_user, self._is_new_item)
+            self._pending_tests.append((period, n_real, (attr["base"], n)))
+            self._pending_attr.append((period, (attr, n)))
+        else:
+            self._pending_tests.append((
+                period, n_real,
+                self.engine.evaluate_deferred(state.mf, padded)))
 
     # ----------------------------------------------------------------- periods
     def run_period(self, state: SMLState, d_time: int):
@@ -434,6 +438,11 @@ class SMLDriver:
             while max_periods is None or d_time < max_periods:
                 if pass_id == start_pass and d_time < start_period:
                     self.feeder.next_train(d_time)  # advance test cursor
+                    # drop eval sets the prefetch hook device_put for this
+                    # skipped period — nothing will pop them (the upload
+                    # for start_period itself is keyed d_time+1 and wanted)
+                    self._eval_cache.pop((d_time, "test"), None)
+                    self._eval_cache.pop((d_time, "val"), None)
                 else:
                     state, ok = self.run_period(state, d_time)
                     if not ok:

@@ -44,6 +44,11 @@ def test_pad_rows_floor():
     # floor below the natural bucket is a no-op
     assert pad_rows(arr, 64, pad_to=50).rows.shape[0] == 128
     assert pad_rows(arr, 64, pad_to=1000).n_real == 100
+    # the floor is itself bucketed: the stream's LARGEST period (whose
+    # natural bucket is coarser than ceil-to-batch) must share the shape
+    big = np.ones((1190, 3), dtype=np.int64)
+    assert pad_rows(arr, 64, pad_to=1190).rows.shape \
+        == pad_rows(big, 64).rows.shape
 
 
 def test_period_index_min_rows_one_shape(rng):
