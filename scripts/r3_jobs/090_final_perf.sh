@@ -23,6 +23,8 @@ done
 for i in 1 2 3; do
   run "perf_r3_final_nows_warm_$i" --seed 2000
 done
+# A/B: the upload-dedup LRU off (round-2 upload behavior, same code rev)
+run "perf_r3_final_faithful_warm_nodedup" --seed 2000 --evals --no-upload-dedup
 # fresh-cache colds, quiet
 FRESH=/tmp/sml_xla_cache_r3_final_cold
 rm -rf $FRESH

@@ -122,7 +122,8 @@ def phase_ours(args):
                     theta_warmstart_steps=args.warmstart,
                     theta_seed=args.theta_seed,
                     saddle_retries=args.saddle_retries,
-                    uniform_shapes=not args.per_period_shapes)
+                    uniform_shapes=not args.per_period_shapes,
+                    upload_dedup=not args.no_upload_dedup)
     dspec = dspec_for(args.root)
     logger = MetricsLogger(args.log) if args.log else None
     driver = SMLDriver(cfg, dspec, logger=logger)
@@ -197,6 +198,9 @@ def main():
     ap.add_argument("--per-period-shapes", action="store_true",
                     help="ours: disable uniform sweep-wide shape buckets "
                          "(round-2 per-period bucketing, for A/B timing)")
+    ap.add_argument("--no-upload-dedup", action="store_true",
+                    help="ours: disable the content-keyed device-upload "
+                         "LRU (round-2 behavior, for A/B timing)")
     args = ap.parse_args()
     if args.platform:
         import jax

@@ -156,6 +156,14 @@ class SMLConfig:
     # host->device link. Off = round-2 per-period bucketing (granularity 8).
     uniform_shapes: bool = True
 
+    # Device-upload dedup: the same test/<p>.npy (rows, 1001) matrix is
+    # shipped to the device up to three times per sweep (period t's val =
+    # test/(t+1), period t+1's now_test, and mf_sample='all' training
+    # pools). A small content-keyed LRU on the engine serves repeats from
+    # HBM instead of re-crossing the host->device link (the warm-sweep
+    # floor over the axon tunnel). Off = round-2 behavior.
+    upload_dedup: bool = True
+
     # Fuse each SML phase (inner epochs -> hat -> refresh -> outer epochs)
     # into ONE jitted dispatch (SMLEngine.phase_step). Same op sequence and
     # key stream as the epoch-at-a-time path; saves ~4 host round-trips per

@@ -95,7 +95,15 @@ class SMLDriver:
             cfg, self.feeder.n_users, self.feeder.n_items)
         if cfg.uniform_shapes and not cfg.replay_mode:
             # one sweep-wide shape per stream -> one compile per op
-            self.engine.shape_targets = self.feeder.shape_bounds()
+            bounds = self.feeder.shape_bounds()
+            if (cfg.mf_sample == "all"
+                    and cfg.mf_batch_size == cfg.eval_batch_size):
+                # unify the training-pool and eval bounds: 'all'-mode set_t
+                # IS an eval-format test file, so one device upload can
+                # serve both (SMLEngine._upload_cache)
+                m = max(bounds["set_t"], bounds["eval"])
+                bounds["set_t"] = bounds["eval"] = m
+            self.engine.shape_targets = bounds
         # overlap the big (rows, 1001) eval-set uploads with training: the
         # prefetch worker pads + device_puts period t+1's test/val sets
         # while the device trains period t

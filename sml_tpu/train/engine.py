@@ -55,6 +55,17 @@ def _diagnostics_jit(user, item, hat_u, hat_i, last_u, last_i, theta):
             theta_norm)
 
 
+def _content_key(arr: np.ndarray) -> tuple:
+    """Cheap content identity for the device-upload LRU: shape + a hash of
+    64 evenly-strided rows + the full element sum. Two different period
+    files would have to agree on all sampled rows AND the total to collide
+    — not a property real interaction data can have."""
+    n = arr.shape[0]
+    stride = max(1, n // 64)
+    sample = np.ascontiguousarray(arr[::stride][:64])
+    return (arr.shape, hash(sample.tobytes()), int(arr.sum()))
+
+
 class SMLEngine:
     def __init__(self, cfg: SMLConfig, n_users: int, n_items: int):
         from sml_tpu.config import resolve_fast_table_adam
@@ -87,6 +98,14 @@ class SMLEngine:
         # "eval"), set by the driver from the feeder's npy-header scan:
         # uniform padding floors so each op compiles ONCE per sweep
         self.shape_targets: Dict[str, int] = {}
+        # content-keyed device-upload LRU: the SAME test/<p>.npy matrix is
+        # shipped up to three times per sweep (period t's val = test/(t+1),
+        # period t+1's now_test = the same file, and in mf_sample='all'
+        # mode the training pool set_t as well). Over the axon tunnel each
+        # (rows, 1001) upload is ~60 MB at tens of MB/s — the warm-sweep
+        # floor — so dedup by content instead
+        self._upload_cache: "Dict[tuple, PaddedRows]" = {}
+        self._upload_cache_cap = 3
         # optional multi-host placement strategy
         # (``parallel.multihost.MultihostPlacement``): when set, every padded
         # batch / sampling index built here is turned into a global array so
@@ -291,6 +310,22 @@ class SMLEngine:
     # ------------------------------------------------------------- data prep
     def prep_inner(self, set_t: np.ndarray):
         bound = self.shape_targets.get("set_t", 0)
+        # mf_sample='all' trains on the SAME (rows, 1001) matrix the eval
+        # path uploads (test/<t>.npy); when the driver unified the pad
+        # bounds, serve it from the upload LRU instead of shipping a copy
+        if (self.cfg.mf_sample == "all" and bound
+                and self.cfg.upload_dedup
+                and bound == self.shape_targets.get("eval")
+                and self.cfg.mf_batch_size == self.cfg.eval_batch_size):
+            key = _content_key(set_t)
+            padded = self._upload_cache.get(key)
+            if padded is None:
+                padded = pad_rows(set_t, self.cfg.mf_batch_size,
+                                  pad_to=bound)
+                if self.placement is not None:
+                    padded = self.placement.batch(padded)
+                self._cache_upload(key, padded)
+            return padded, None
         padded = pad_rows(set_t, self.cfg.mf_batch_size, pad_to=bound)
         index = (build_period_index(set_t, self.n_items, min_rows=bound)
                  if self.cfg.mf_sample == "alone"
@@ -468,11 +503,27 @@ class SMLEngine:
         ``multi_num * (mf_epochs + tr_epochs)`` times per period; re-uploading
         the (rows, 1001) candidate array each time costs ~2 s over the axon
         tunnel and dominated the eval-faithful sweep (3.4x instead of >5x)."""
+        key = _content_key(test_rows) if self.cfg.upload_dedup else None
+        if key is not None:
+            hit = self._upload_cache.get(key)
+            if hit is not None:
+                return hit
         padded = pad_rows(test_rows, self.cfg.eval_batch_size,
                           pad_to=self.shape_targets.get("eval", 0))
         if self.placement is not None:
             padded = self.placement.batch(padded)
+        if key is not None:
+            self._cache_upload(key, padded)
         return padded
+
+    def _cache_upload(self, key, padded: PaddedRows) -> None:
+        """Insert into the upload LRU (evicting oldest; dict preserves
+        insertion order). Called from the main thread AND the prefetch
+        worker — plain dict ops are atomic under the GIL."""
+        self._upload_cache.pop(key, None)
+        self._upload_cache[key] = padded
+        while len(self._upload_cache) > self._upload_cache_cap:
+            self._upload_cache.pop(next(iter(self._upload_cache)))
 
     def evaluate_deferred(self, mf: MFParams, test_rows):
         """Dispatch an eval WITHOUT fetching the result: returns

@@ -17,10 +17,12 @@ from sml_tpu.train.engine import SMLEngine
 
 
 def _cfg(**kw):
-    return SMLConfig(multi_num=1, mf_batch_size=256, tr_batch_size=128,
-                     eval_batch_size=256, latent_dim=8,
-                     transfer=TransferConfig(latent_dim=8, fc_hidden=32),
-                     mf_sample="alone", **kw)
+    base = dict(multi_num=1, mf_batch_size=256, tr_batch_size=128,
+                eval_batch_size=256, latent_dim=8,
+                transfer=TransferConfig(latent_dim=8, fc_hidden=32),
+                mf_sample="alone")
+    base.update(kw)
+    return SMLConfig(**base)
 
 
 def test_row_count_matches_load(synthetic_dataset):
@@ -95,6 +97,48 @@ def test_driver_uniform_shapes_single_bucket(synthetic_dataset):
     assert d_time >= 3
     for kind, seen in shapes.items():
         assert len(seen) == 1, (kind, seen)
+
+
+def test_upload_dedup_shares_buffers(synthetic_dataset, rng):
+    """The content-keyed upload LRU: repeated make_eval_set of the same
+    matrix returns the SAME device buffers, and an 'all'-mode training
+    pool shares the eval upload when the driver unified the bounds."""
+    dspec, info, spec = synthetic_dataset
+    cfg = _cfg(mf_sample="all", mf_batch_size=256, eval_batch_size=256)
+    engine = SMLEngine(cfg, info.n_users, info.n_items)
+    driver = SMLDriver(cfg, dspec, engine=engine)
+    assert engine.shape_targets["set_t"] == engine.shape_targets["eval"]
+
+    from sml_tpu.data.formats import load_test
+    rows = load_test(dspec.path, dspec.online_test_start)
+    a = engine.make_eval_set(rows)
+    b = engine.make_eval_set(rows.copy())          # same content, new array
+    assert a.rows is b.rows
+    padded, index = engine.prep_inner(rows.copy())  # 'all' training pool
+    assert padded.rows is a.rows and index is None
+
+    # different content misses
+    other = rows.copy()
+    other[0, 0] = (other[0, 0] + 1) % info.n_users
+    c = engine.make_eval_set(other)
+    assert c.rows is not a.rows
+
+    # LRU evicts beyond cap without losing correctness
+    for p in range(dspec.online_test_start, dspec.num_periods):
+        t = load_test(dspec.path, p)
+        if t is not None:
+            engine.make_eval_set(t)
+    assert len(engine._upload_cache) <= engine._upload_cache_cap
+
+    # dedup off -> fresh buffers, same values
+    cfg2 = _cfg(mf_sample="all", mf_batch_size=256, eval_batch_size=256,
+                upload_dedup=False)
+    engine2 = SMLEngine(cfg2, info.n_users, info.n_items)
+    SMLDriver(cfg2, dspec, engine=engine2)
+    d1 = engine2.make_eval_set(rows)
+    d2 = engine2.make_eval_set(rows)
+    assert d1.rows is not d2.rows
+    np.testing.assert_array_equal(np.asarray(d1.rows), np.asarray(a.rows))
 
 
 def test_uniform_shapes_trains_correctly(synthetic_dataset):
