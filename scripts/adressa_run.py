@@ -100,13 +100,16 @@ def phase_sml(args):
     import jax
     from sml_tpu.config import adressa_sml, TransferConfig
     from sml_tpu.train.driver import SMLDriver
+    from sml_tpu.utils.logging import MetricsLogger
 
     cfg = adressa_sml().replace(
         latent_dim=LATENT, transfer=TransferConfig(latent_dim=LATENT),
-        seed=args.seed)
+        seed=args.seed, saddle_retries=args.saddle_retries,
+        log_norms=bool(args.log))
     assert cfg.multi_num == MULTI and cfg.mf_epochs == EPOCHS \
         and cfg.tr_epochs == EPOCHS
-    driver = SMLDriver(cfg, dspec_for(args.root))
+    logger = MetricsLogger(args.log) if args.log else None
+    driver = SMLDriver(cfg, dspec_for(args.root), logger=logger)
     assert driver._stop_stage == TEST_START - TRAIN_START - 1  # news != 19
     state = driver.engine.init_state(pretrained_mf=load_pre(args.root))
     t0 = time.time()
@@ -116,6 +119,7 @@ def phase_sml(args):
         "backend": jax.default_backend(),
         "seed": args.seed,
         "total_seconds": round(total, 1),
+        "saddle_retries_used": report.saddle_retries_used,
         "summary": {k: round(v, 5) for k, v in report.summary().items()},
         "per_period_recall@20":
             [round(v, 4) for v in report.per_period.get(20, [])],
@@ -208,6 +212,11 @@ def main():
     ap.add_argument("--key", default=None,
                     help="results.json key (default: the phase name)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--saddle-retries", type=int, default=0,
+                    help="sml: first-period bad-stream guard (0 = "
+                         "reference-faithful, matching the parity runs)")
+    ap.add_argument("--log", default=None,
+                    help="sml: per-phase diagnostics jsonl (log_norms)")
     args = ap.parse_args()
     if args.platform:
         import jax
