@@ -110,7 +110,13 @@ def main():
                 "total": v.get("total_seconds"),
                 "p0": ps[0] if ps else None,
                 "steady_mean": round(statistics.fmean(ps[1:]), 3)
-                if len(ps) > 1 else None}
+                if len(ps) > 1 else None,
+                # totals on the tunneled device are dominated by sporadic
+                # multi-second stalls on random periods; the median
+                # separates steady state from those hiccups
+                "median_period": round(statistics.median(ps), 3)
+                if ps else None,
+                "max_period": round(max(ps), 2) if ps else None}
             print(f"  {k}: {doc['perf'][k]}")
 
     if args.json:

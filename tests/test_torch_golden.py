@@ -130,7 +130,7 @@ def test_inner_step_matches_torch(setup):
     tl.backward()
     topt.step()
 
-    np.testing.assert_allclose(float(jloss), float(tl), rtol=1e-5)
+    np.testing.assert_allclose(float(jloss), float(tl.detach()), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(new_mf.user_emb),
                                user_emb.weight.detach().numpy(),
                                rtol=2e-4, atol=1e-5)
@@ -176,7 +176,7 @@ def test_outer_step_matches_torch(setup):
     tl.backward()
     topt.step()
 
-    np.testing.assert_allclose(float(jloss), float(tl), rtol=1e-5)
+    np.testing.assert_allclose(float(jloss), float(tl.detach()), rtol=1e-5)
     got = {
         "c1w": np.asarray(new_theta.user.conv1_w),
         "c1b": np.asarray(new_theta.user.conv1_b),
