@@ -69,15 +69,28 @@ def bench_jax(inter, mf_sample, rng):
     log(f"jax[{mf_sample}] warmup (compile + 1 epoch): {time.time() - t0:.1f}s "
         f"loss={warm_loss:.4f} backend={jax.default_backend()}")
 
-    t0 = time.time()
-    acc = 0.0
-    for _ in range(TIMED_EPOCHS):
-        state, losses = engine.inner_epoch(state, padded, index)
-        acc += float(losses.sum())
-    dt = time.time() - t0
-    ex_per_s = TIMED_EPOCHS * inter.shape[0] / dt
-    log(f"jax[{mf_sample}]: {TIMED_EPOCHS} epochs x {inter.shape[0]} examples"
-        f" in {dt:.2f}s -> {ex_per_s:,.0f} ex/s")
+    # The device sits behind the axon tunnel, whose throughput stalls for
+    # seconds at random (tunnel_bw_r3.json: ~32 ms dispatch RTT, ~40 MB/s);
+    # a single short timed window swung 1.0M -> 0.13M ex/s between two
+    # back-to-back runs. Measure like the torch side: several >=~10 s
+    # trials, report the median trial.
+    rates = []
+    for trial in range(3):
+        t0 = time.time()
+        epochs = 0
+        while time.time() - t0 < 10.0:
+            state, losses = engine.inner_epoch(state, padded, index)
+            float(losses.sum())
+            epochs += 1
+        dt = time.time() - t0
+        rates.append(epochs * inter.shape[0] / dt)
+        log(f"jax[{mf_sample}] trial {trial}: {epochs} epochs x "
+            f"{inter.shape[0]} examples in {dt:.2f}s "
+            f"-> {rates[-1]:,.0f} ex/s")
+    ex_per_s = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / ex_per_s if ex_per_s else float("nan")
+    log(f"jax[{mf_sample}]: median {ex_per_s:,.0f} ex/s over 3 trials "
+        f"(spread {spread:.1%})")
 
     # secondary: fused full-table transfer refresh
     t0 = time.time()
@@ -177,7 +190,7 @@ def bench_torch(inter, min_trial_seconds=10.0, trials=3):
     spread = (max(rates) - min(rates)) / med if med else float("nan")
     log(f"torch-cpu: median {med:,.0f} ex/s over {trials} trials "
         f"(spread {spread:.1%}, threads={torch.get_num_threads()})")
-    return med
+    return med, rates
 
 
 def enable_compile_cache():
@@ -185,6 +198,46 @@ def enable_compile_cache():
     so the env var / 'off' sentinel / threshold cannot drift."""
     from sml_tpu.utils.compile_cache import enable_compile_cache as enable
     enable(log=log)
+
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def torch_baseline(inter):
+    """The torch-CPU denominator, measured ONCE on a quiet host and then
+    pinned in BENCH_BASELINE.json.
+
+    Re-measuring it every invocation made ``vs_baseline`` swing 2x between
+    rounds from host load alone (VERDICT r2 Weak #1) — the driver runs
+    bench.py at round end, when background measurement lanes may still
+    occupy every core, so a live re-measure times the host's load average,
+    not the reference. Set SML_BENCH_REMEASURE=1 (on a quiet host) to
+    refresh the pinned number."""
+    if not os.environ.get("SML_BENCH_REMEASURE") \
+            and os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            rec = json.load(fh)
+        log(f"torch-cpu baseline: {rec['torch_cpu_ex_per_s']:,.0f} ex/s "
+            f"(pinned, measured {rec['measured_utc']}; "
+            f"SML_BENCH_REMEASURE=1 to refresh)")
+        return float(rec["torch_cpu_ex_per_s"])
+    med, rates = bench_torch(inter)
+    # pin the MAX trial, not the median: host-noise dips can only slow the
+    # torch loop down, so the fastest trial is the closest estimate of the
+    # reference's true quiet-host rate — and gives the most conservative
+    # ours/baseline ratio
+    best = round(max(rates), 1)
+    rec = {"torch_cpu_ex_per_s": best,
+           "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "trials_ex_per_s": [round(r, 1) for r in rates],
+           "protocol": "3 trials x >=10 s, 4 pinned torch threads, warmup "
+                       "batch excluded; pinned to the max trial (median "
+                       f"was {med:,.0f})"}
+    with open(BASELINE_FILE, "w") as fh:
+        json.dump(rec, fh, indent=2)
+    log(f"torch-cpu baseline pinned to {BASELINE_FILE}: {best:,.0f} ex/s")
+    return best
 
 
 def main():
@@ -199,7 +252,7 @@ def main():
     # secondary: on-device Bloom rejection sampling ('alone' mode)
     bench_jax(inter, "alone", rng)
     try:
-        base = bench_torch(inter)
+        base = torch_baseline(inter)
         vs = ours / base
     except Exception as e:  # torch missing/broken: report raw throughput
         log(f"torch baseline failed: {e}")
