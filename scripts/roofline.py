@@ -37,8 +37,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, repeats=3):
-    """Best-of wall time of an already-compiled one-dispatch program."""
+def timed(fn, *args, repeats=7):
+    """Best-of wall time of an already-compiled one-dispatch program.
+
+    The device is behind the axon tunnel, which stalls for seconds at
+    random (tunnel_bw_r3.json) — stalls only ever ADD time, so the min
+    over enough repeats converges on true device+dispatch time. Three
+    repeats proved too few (a stall once survived into every sample and
+    produced a negative two-point difference); seven is cheap since each
+    call is a single dispatch."""
     outs = fn(*args)
     _sync(outs)
     best = float("inf")
@@ -138,14 +145,24 @@ def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)):
     tcfg = TransferConfig(latent_dim=DIM)
     theta = init_transfer(jax.random.PRNGKey(1), tcfg)
     out = {}
+    lu = hu = li = hi = None
     for rows in sizes:
+        # free the previous size's buffers BEFORE allocating the next:
+        # rebinding alone holds both generations alive at once and
+        # fragmented HBM into a ResourceExhausted at 4.2M rows
+        del lu, hu, li, hi
         nu = rows * 5 // 6
         ni = rows - nu
         key = jax.random.PRNGKey(2)
-        lu = jax.random.normal(key, (nu, DIM))
-        hu = jax.random.normal(key, (nu, DIM))
-        li = jax.random.normal(key, (ni, DIM))
-        hi = jax.random.normal(key, (ni, DIM))
+        try:
+            lu = jax.random.normal(key, (nu, DIM))
+            hu = jax.random.normal(key, (nu, DIM))
+            li = jax.random.normal(key, (ni, DIM))
+            hi = jax.random.normal(key, (ni, DIM))
+        except Exception as e:
+            log(f"refresh rows={rows}: alloc skipped ({type(e).__name__})")
+            lu = hu = li = hi = None
+            continue
 
         def once(reps):
             # donate nothing (timed() re-runs with the same buffers), but
@@ -164,14 +181,18 @@ def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)):
             return run
 
         try:
-            t1, _ = timed(once(1), lu, hu, li, hi)
-            t17, _ = timed(once(17), lu, hu, li, hi)
+            t3, _ = timed(once(3), lu, hu, li, hi)
+            t19, _ = timed(once(19), lu, hu, li, hi)
         except Exception as e:   # e.g. HBM exhaustion at the largest size
             log(f"refresh rows={rows}: skipped ({type(e).__name__})")
-            del lu, hu, li, hi
+            lu = hu = li = hi = None
             continue
-        per_call = (t17 - t1) / 16          # dispatch/sync overhead cancels
-        overhead = t1 - per_call
+        per_call = (t19 - t3) / 16          # dispatch/sync overhead cancels
+        overhead = t3 - 3 * per_call
+        if per_call <= 0:                   # a tunnel stall survived all
+            log(f"refresh rows={rows}: unreliable (t19 {t19:.3f} <= t3 "
+                f"{t3:.3f}), skipped")
+            continue
         # bytes: read last+hat, write out = 3 passes x rows x d x 4
         bytes_moved = 3 * rows * DIM * 4
         tower = (10 * 3 * DIM + 5 * 10 * DIM + 5 * DIM * 512
