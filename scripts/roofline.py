@@ -58,10 +58,18 @@ def timed(fn, *args, repeats=7):
 
 
 def _sync(tree):
+    """Force completion by materializing ONE scalar on host.
+
+    np.asarray(full_array) would ship the whole buffer over the ~27 MB/s
+    axon tunnel (512 MB ≈ 19 s at the 2M-row refresh size), swamping the
+    device time being measured; indexing first keeps the d2h copy to one
+    element."""
     import jax
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(leaves[0]).ravel()[:1]
+        leaf = leaves[0]
+        idx = (0,) * getattr(leaf, "ndim", 0)
+        np.asarray(leaf[idx] if idx else leaf)
 
 
 def inner_step_roofline():
