@@ -141,7 +141,12 @@ def inner_step_roofline():
     }
 
 
-def refresh_roofline(sizes=(131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)):
+def refresh_roofline(sizes=(131_072, 524_288, 2_097_152)):
+    # per-row cost is flat from 131k to 2M rows (56-64M rows/s), so larger
+    # single-chip sizes add no roofline information — and deliberately
+    # OOM-probing 4M+ rows leaves HBM fragmented enough to crash the eval
+    # section that follows (the 5-6M-row regime is measured sharded in
+    # benchmarks_scale_r2.json instead)
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -263,14 +268,20 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     sizes = (16_384, 65_536) if args.smoke else \
-        (131_072, 524_288, 2_097_152, 4_194_304, 6_291_456)
+        (131_072, 524_288, 2_097_152)
     res = {
         "device": str(jax.devices()[0]),
         "peaks": {"hbm_bytes_s": HBM_BYTES_S, "bf16_flops": BF16_FLOPS},
-        "inner_step": inner_step_roofline(),
-        "refresh": refresh_roofline(sizes),
-        "eval": eval_roofline(),
     }
+    # one failed section must not discard the others' measurements
+    for name, fn in (("inner_step", inner_step_roofline),
+                     ("refresh", lambda: refresh_roofline(sizes)),
+                     ("eval", eval_roofline)):
+        try:
+            res[name] = fn()
+        except Exception as e:
+            log(f"{name} failed: {type(e).__name__}: {e}")
+            res[name] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(res, indent=1))
 
 
