@@ -31,12 +31,24 @@ def load(path):
 
 
 def meanpp(rec):
-    v = rec.get("per_period_recall@20")
+    # ours records: per_period_recall@20; reference records: recall@20
+    v = rec.get("per_period_recall@20") or rec.get("recall@20")
     return statistics.fmean(v) if v else None
 
 
 def wtest(rec):
-    return rec.get("summary", {}).get("test_recall@20")
+    s = rec.get("summary", {}).get("test_recall@20")
+    if s is not None:
+        return s
+    # reference records carry raw per-period lists; reproduce the
+    # transfer.py:991-1025 weighting (first 1/3 val, rest test)
+    rec20, tn = rec.get("recall@20"), rec.get("test_num")
+    if not rec20 or not tn:
+        return None
+    k = len(rec20) // 3
+    num = sum(r * n for r, n in zip(rec20[k:], tn[k:]))
+    den = sum(tn[k:])
+    return num / den if den else None
 
 
 def stats(vals):
@@ -52,7 +64,8 @@ def group(d, prefix, exclude=()):
     out = {}
     for k, v in d.items():
         if k.startswith(prefix) and not any(x in k for x in exclude) \
-                and isinstance(v, dict) and "per_period_recall@20" in v:
+                and isinstance(v, dict) \
+                and ("per_period_recall@20" in v or "recall@20" in v):
             out[k] = v
     return out
 
