@@ -31,6 +31,70 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_mem_line():
+    """Best-effort device-occupancy line for OOM diagnostics."""
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if used is not None:
+            return (f"device mem: {used / 2**20:,.0f} MiB in use"
+                    + (f" / {limit / 2**20:,.0f} MiB" if limit else ""))
+    except Exception as e:
+        return f"device mem: unavailable ({type(e).__name__})"
+    return "device mem: unavailable"
+
+
+def _is_oom(exc):
+    return "RESOURCE_EXHAUSTED" in repr(exc)
+
+
+def oom_retry(fn, label, attempts=5, base_delay=20.0, sleep=time.sleep):
+    """Run ``fn`` retrying on TPU RESOURCE_EXHAUSTED with backoff.
+
+    The driver runs bench.py at round end, when a straggler measurement
+    lane may still hold most of HBM (round 3's official bench artifact was
+    an OOM stack trace for exactly this reason). Device-memory pressure
+    from a co-resident process is transient — the co-tenant exits — so the
+    right behavior is wait-and-retry, not crash. Non-OOM errors propagate
+    immediately. Total worst-case backoff ~= base_delay * (2^(attempts-1)-1)
+    (default 20+40+80+160 = 300 s), bounded so the driver's window holds."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if not _is_oom(e) or attempt == attempts - 1:
+                raise
+            delay = base_delay * (2 ** attempt)
+            log(f"[{label}] attempt {attempt + 1}/{attempts} hit "
+                f"RESOURCE_EXHAUSTED; {_device_mem_line()}; "
+                f"retrying in {delay:.0f}s")
+            try:
+                import jax
+                jax.clear_caches()   # drop live executables/buffers we hold
+            except Exception:
+                pass
+            sleep(delay)
+
+
+def preflight(attempts=5, base_delay=20.0, sleep=time.sleep):
+    """Tiny allocate-compute-fetch probe (with the same OOM retry) before
+    the heavyweight workload, so a busy device is detected in seconds, not
+    after a multi-hundred-second compile."""
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((256, 256), jnp.float32)
+        val = float(jnp.sum(x * 2.0))
+        assert val == 131072.0, val
+        return jax.default_backend()
+
+    backend = oom_retry(probe, "preflight", attempts=attempts,
+                        base_delay=base_delay, sleep=sleep)
+    log(f"preflight ok: backend={backend}; {_device_mem_line()}")
+
+
 def make_data(rng):
     users = rng.integers(0, N_USERS, N_INTER)
     items = (rng.pareto(1.2, N_INTER) * 50).astype(np.int64) % N_ITEMS
@@ -247,10 +311,20 @@ def main():
     log(f"workload: {inter.shape[0]} interactions, {N_USERS} users, "
         f"{N_ITEMS} items, d={DIM}")
 
-    # headline: the reference's default Yelp configuration (mf_sample='all')
-    ours = bench_jax(inter, "all", rng)
-    # secondary: on-device Bloom rejection sampling ('alone' mode)
-    bench_jax(inter, "alone", rng)
+    # Fail fast (and wait out co-tenants) before paying the big compile.
+    preflight()
+
+    # headline: the reference's default Yelp configuration (mf_sample='all').
+    # Retried on RESOURCE_EXHAUSTED: this is the round's scored artifact and
+    # must be capturable even if a straggler lane still holds HBM.
+    ours = oom_retry(lambda: bench_jax(inter, "all", rng), "jax[all]")
+    # secondary: on-device Bloom rejection sampling ('alone' mode) —
+    # diagnostic only, never allowed to sink the headline JSON line
+    try:
+        oom_retry(lambda: bench_jax(inter, "alone", rng), "jax[alone]",
+                  attempts=2)
+    except Exception as e:
+        log(f"secondary 'alone' bench failed (non-fatal): {e!r}")
     try:
         base = torch_baseline(inter)
         vs = ours / base
