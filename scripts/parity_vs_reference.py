@@ -210,8 +210,83 @@ def run_ours_baseline(dspec, params, method):
     }
 
 
-def run_reference(root, params, ref_seed=2000, dataset_name="synth"):
-    """Execute the reference driver on CPU against the shared dataset."""
+def _ref_ckpt_save(path, model, stage_id, elapsed, fingerprint):
+    """Atomic period-boundary snapshot of a running reference sweep.
+
+    The reference driver has no checkpointing of its own (VERDICT r3 Weak
+    #6): a host restart used to erase ~5 h of single-core progress per
+    lane. Captures everything `meta_train` mutates across periods —
+    module/optimizer state, the four weight snapshots, the metric arrays,
+    the dataset cursor, and all three RNG streams — so a resumed sweep is
+    bit-identical to an uninterrupted one (numworkers=0, so sampling uses
+    the global np.random stream captured here)."""
+    import random
+    import torch
+
+    blob = {
+        "fingerprint": fingerprint,
+        "stage_id": stage_id,
+        "elapsed": elapsed,
+        "mfbase": model.MFbase.state_dict(),
+        "transfer": model.transfer.state_dict(),
+        "mf_opt": model.MF_optimizer.state_dict(),
+        "tr_opt": model.transfer_optimizer.state_dict(),
+        "snapshots": {
+            k: getattr(model, k)
+            for k in ("last_user_weight", "last_item_weight",
+                      "user_weight_hat", "item_weight_hat",
+                      "last_user_weight_hat", "last_item_weight_hat")},
+        "metrics": {
+            k: list(getattr(model, k))
+            for k in ("recall", "ndcg", "recall_10", "ndcg_10",
+                      "recall_5", "ndcg_5", "test_num")},
+        # transfer_data's only cursor is test_count (dataset2.py:228);
+        # next_train is driven by the stage_id argument, not a counter
+        "counters": {"MF_itr": model.MF_itr, "TR_itr": model.TR_itr,
+                     "test_count": model.dataset.test_count},
+        "rng": {"torch": torch.get_rng_state(),
+                "numpy": np.random.get_state(),
+                "python": random.getstate()},
+    }
+    tmp = path + ".tmp"
+    torch.save(blob, tmp)
+    os.replace(tmp, path)
+
+
+def _ref_ckpt_load(path, model, fingerprint):
+    import random
+    import torch
+
+    blob = torch.load(path, weights_only=False)
+    assert blob["fingerprint"] == fingerprint, (
+        f"checkpoint protocol mismatch: {blob['fingerprint']} != {fingerprint}")
+    model.MFbase.load_state_dict(blob["mfbase"])
+    model.transfer.load_state_dict(blob["transfer"])
+    model.MF_optimizer.load_state_dict(blob["mf_opt"])
+    model.transfer_optimizer.load_state_dict(blob["tr_opt"])
+    for k, v in blob["snapshots"].items():
+        setattr(model, k, v)
+    for k, v in blob["metrics"].items():
+        setattr(model, k, v)
+    model.MF_itr = blob["counters"]["MF_itr"]
+    model.TR_itr = blob["counters"]["TR_itr"]
+    model.dataset.test_count = blob["counters"]["test_count"]
+    torch.set_rng_state(blob["rng"]["torch"])
+    np.random.set_state(blob["rng"]["numpy"])
+    random.setstate(blob["rng"]["python"])
+    return blob["stage_id"], blob["elapsed"]
+
+
+def run_reference(root, params, ref_seed=2000, dataset_name="synth",
+                  ckpt_path=None, interrupt_after=None):
+    """Execute the reference driver on CPU against the shared dataset.
+
+    With ``ckpt_path`` set, the run loop is the explicit stage-by-stage
+    equivalent of ``meta_train.run`` for pass_num=1 (``transfer.py:972-979``
+    — same `train_one_stage3` calls; the final block there is print-only),
+    snapshotting after every period and resuming from the snapshot if one
+    exists. ``interrupt_after`` (tests only) aborts after N periods to
+    simulate a host kill."""
     import torch
 
     _setup_reference_import()
@@ -272,17 +347,49 @@ def run_reference(root, params, ref_seed=2000, dataset_name="synth"):
         model = ref_transfer.meta_train(args, datasets,
                                         datasets.user_number,
                                         datasets.item_number, LATENT)
-        model.run(args)
+        if ckpt_path is None:
+            model.run(args)
+        else:
+            fingerprint = {"seed": ref_seed, "n_periods": N_PERIODS,
+                           "train_start": TRAIN_START,
+                           "test_start": TEST_START, "multi": MULTI,
+                           "latent": LATENT, "mf_epochs": MF_EPOCHS,
+                           "tr_epochs": TR_EPOCHS, "dataset": dataset_name}
+            stage_id, elapsed = 0, 0.0
+            model.dataset.reinit()
+            if os.path.exists(ckpt_path):
+                stage_id, elapsed = _ref_ckpt_load(ckpt_path, model,
+                                                   fingerprint)
+                print(f"[ref-ckpt] resumed at stage {stage_id} "
+                      f"({elapsed:.0f}s banked)", file=sys.stderr, flush=True)
+            done = 0
+            while True:
+                t0 = time.time()
+                flag = model.train_one_stage3(args, stage_id)
+                elapsed += time.time() - t0
+                if not flag:
+                    break
+                stage_id += 1
+                done += 1
+                _ref_ckpt_save(ckpt_path, model, stage_id, elapsed,
+                               fingerprint)
+                print(f"[ref-ckpt] stage {stage_id} done "
+                      f"({elapsed:.0f}s total)", file=sys.stderr, flush=True)
+                if interrupt_after is not None and done >= interrupt_after:
+                    raise KeyboardInterrupt("synthetic interrupt for tests")
 
     def arr(x):
         return [float(v) for v in x]
 
-    return {
+    out = {
         "recall@20": arr(model.recall), "ndcg@20": arr(model.ndcg),
         "recall@10": arr(model.recall_10), "ndcg@10": arr(model.ndcg_10),
         "recall@5": arr(model.recall_5), "ndcg@5": arr(model.ndcg_5),
         "test_num": [int(v) for v in model.test_num],
     }
+    if ckpt_path is not None:
+        out["train_seconds_banked"] = round(elapsed, 1)
+    return out
 
 
 def run_ours(dspec, params):

@@ -157,8 +157,9 @@ def phase_reference(args):
                      latent=LATENT)
     params = load_pre(args.root)
     t0 = time.time()
-    ref = pvr.run_reference(args.root, params, ref_seed=args.seed)
-    total = time.time() - t0
+    ref = pvr.run_reference(args.root, params, ref_seed=args.seed,
+                            ckpt_path=args.ckpt)
+    total = ref.pop("train_seconds_banked", None) or (time.time() - t0)
     record(args.root, args.key or "reference", {
         "seed": args.seed,
         "total_seconds": round(total, 1),
@@ -181,6 +182,10 @@ def main():
     ap.add_argument("--seed", type=int, default=2000)
     ap.add_argument("--key", default=None,
                     help="results.json key (default: the phase name)")
+    ap.add_argument("--ckpt", default=None,
+                    help="reference: period-boundary checkpoint file; the "
+                         "sweep resumes from it if present (a resumed sweep "
+                         "is bit-identical to an uninterrupted one)")
     ap.add_argument("--evals", action="store_true",
                     help="ours: run the reference's always-on in-training "
                          "evals (wall-clock-faithful mode)")
