@@ -184,17 +184,18 @@ def phase_reference(args):
 
 def _weighted_summary(ref):
     """The reference's val/test split + test-count weighting
-    (``transfer.py:991-1025``): first third of test periods = validation."""
+    (``transfer.py:991-1025``), via the SAME shared helper every 'ours'
+    summary uses (round-split, drop-last-test) so reference and ours
+    records are on one protocol (ADVICE r3 — the old hand-rolled slice
+    included the final period the reference drops)."""
+    from sml_tpu.ops.metrics import weighted_period_average
     out = {}
-    n = np.asarray(ref["test_num"], dtype=np.float64)
-    cut = max(1, len(n) // 3)
+    n = ref["test_num"]
     for k in (5, 10, 20):
         for name in ("recall", "ndcg"):
-            v = np.asarray(ref[f"{name}@{k}"], dtype=np.float64)
-            out[f"val_{name}@{k}"] = round(
-                float((v[:cut] * n[:cut]).sum() / n[:cut].sum()), 5)
-            out[f"test_{name}@{k}"] = round(
-                float((v[cut:] * n[cut:]).sum() / n[cut:].sum()), 5)
+            val, test = weighted_period_average(ref[f"{name}@{k}"], n)
+            out[f"val_{name}@{k}"] = round(float(val), 5)
+            out[f"test_{name}@{k}"] = round(float(test), 5)
     return out
 
 

@@ -14,11 +14,20 @@ STAMP() { date -u +%H:%M:%S; }
 echo "[post $(STAMP)] adressa pretrain"
 timeout 1200 python scripts/adressa_run.py --phase pretrain --root $AROOT \
   >> /tmp/r3b_adressa_pre.log 2>&1
-echo "[post $(STAMP)] adressa pretrain rc=$?"
-python3 -c "
-import json; d=json.load(open('$AROOT/results.json'))
-print('adressa pretrain:', d.get('pretrain'))"
-touch /tmp/adressa_ready
+pre_rc=$?
+echo "[post $(STAMP)] adressa pretrain rc=$pre_rc"
+# only open the adressa gate when pretrain actually landed (ADVICE r3:
+# an unconditional touch made the CPU reference lanes start against a
+# missing root and burn their full timeouts)
+if [ $pre_rc -eq 0 ] && python3 -c "
+import json, sys
+d = json.load(open('$AROOT/results.json'))
+print('adressa pretrain:', d.get('pretrain'))
+sys.exit(0 if d.get('pretrain') else 1)"; then
+  touch /tmp/adressa_ready
+else
+  echo "[post $(STAMP)] adressa pretrain FAILED - gate stays closed"
+fi
 
 for i in 4 5; do
   echo "[post $(STAMP)] faithful_warm_$i"

@@ -18,12 +18,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def weighted(rec, n):
-    rec = np.asarray(rec, float)
-    n = np.asarray(n, float)
-    k = len(rec) // 3
-    val = float((rec[:k] * n[:k]).sum() / n[:k].sum())
-    test = float((rec[k:] * n[k:]).sum() / n[k:].sum())
-    return val, test
+    # the shared aggregation helper (round-split + drop-last,
+    # transfer.py:991-1025) — the same function every 'ours' summary uses,
+    # so the printed denominator table is on matched metrics (ADVICE r3)
+    sys.path.insert(0, REPO)
+    from sml_tpu.ops.metrics import weighted_period_average
+    val, test = weighted_period_average(rec, n)
+    return float(val), float(test)
 
 
 def main():
@@ -44,8 +45,19 @@ def main():
                 continue
             # round 1's reference_seed7 record predates the test_num field;
             # per-period test counts are a dataset property, identical
-            # across seeds, so borrow them from the sibling record
-            tn = v.get("test_num") or data["reference"]["test_num"]
+            # across seeds, so borrow them from ANY sibling record that
+            # has one of matching length (a bare 'reference' key may be
+            # absent on a freshly seeded root — ADVICE r3)
+            tn = v.get("test_num")
+            if not tn:
+                want = len(v["recall@20"])
+                tn = next((w["test_num"] for w in data.values()
+                           if isinstance(w, dict)
+                           and len(w.get("test_num") or []) == want), None)
+            if not tn:
+                print(f"  {src} {k}: skipped (no sibling test_num of "
+                      f"length {len(v['recall@20'])})")
+                continue
             val, test = weighted(v["recall@20"], tn)
             mp = float(np.mean(v["recall@20"]))
             rows.append((src, k, val, test, mp, v.get("total_seconds")))

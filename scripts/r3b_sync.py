@@ -70,10 +70,23 @@ def sync(tmp_path, repo_name):
             if k not in cur:
                 cur[k] = v
                 added += 1
-            elif cur[k] != v and cur.get(k + "_r3b") != v:
-                cur[k + "_r3b"] = v
-                renamed += 1
-        print(f"synced {repo_name}: +{added} new, {renamed} under *_r3b")
+                continue
+            if cur[k] == v:
+                continue
+            # never clobber history (ADVICE r3): a third distinct value for
+            # the same key gets the next free incrementing suffix instead
+            # of overwriting the prior re-measurement
+            n = 0
+            while True:
+                alias = k + ("_r3b" if n == 0 else f"_r3b{n + 1}")
+                if alias not in cur:
+                    cur[alias] = v
+                    renamed += 1
+                    break
+                if cur[alias] == v:
+                    break
+                n += 1
+        print(f"synced {repo_name}: +{added} new, {renamed} under *_r3b*")
         return cur
 
     _locked_update(repo_path, merge)

@@ -20,6 +20,9 @@ import argparse
 import json
 import os
 import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load(path):
@@ -40,15 +43,17 @@ def wtest(rec):
     s = rec.get("summary", {}).get("test_recall@20")
     if s is not None:
         return s
-    # reference records carry raw per-period lists; reproduce the
-    # transfer.py:991-1025 weighting (first 1/3 val, rest test)
+    # reference records carry raw per-period lists; use the SAME
+    # aggregation helper every 'ours' summary uses (round-split +
+    # drop-last, transfer.py:991-1025) so both table sides are on one
+    # protocol (ADVICE r3: the hand-rolled len//3 + include-last slice
+    # depressed the reference denominator ~1.5% relative)
     rec20, tn = rec.get("recall@20"), rec.get("test_num")
     if not rec20 or not tn:
         return None
-    k = len(rec20) // 3
-    num = sum(r * n for r, n in zip(rec20[k:], tn[k:]))
-    den = sum(tn[k:])
-    return num / den if den else None
+    from sml_tpu.ops.metrics import weighted_period_average
+    _, test = weighted_period_average(rec20, tn)
+    return float(test)
 
 
 def stats(vals):
