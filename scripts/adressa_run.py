@@ -169,8 +169,8 @@ def phase_reference(args):
     params = load_pre(args.root)
     t0 = time.time()
     ref = pvr.run_reference(args.root, params, ref_seed=args.seed,
-                            dataset_name="news")
-    total = time.time() - t0
+                            dataset_name="news", ckpt_path=args.ckpt)
+    total = ref.pop("train_seconds_banked", None) or (time.time() - t0)
     weighted = _weighted_summary(ref)
     log(f"reference news: {weighted}")
     record(args.root, f"reference_seed{args.seed}", {
@@ -218,6 +218,9 @@ def main():
                          "reference-faithful, matching the parity runs)")
     ap.add_argument("--log", default=None,
                     help="sml: per-phase diagnostics jsonl (log_norms)")
+    ap.add_argument("--ckpt", default=None,
+                    help="reference: period-boundary checkpoint file "
+                         "(resume is bit-identical)")
     args = ap.parse_args()
     if args.platform:
         import jax

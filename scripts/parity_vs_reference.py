@@ -148,7 +148,9 @@ def _load_reference_baseline():
     return mod
 
 
-def run_reference_baseline(root, params, method):
+def run_reference_baseline(root, params, method, seed=2000, epochs=None,
+                           pool=None, batch_size=256, dataset_name="synth",
+                           numworkers=4):
     """Reference ``SPMF`` baselines driver (``model/baseline.py:102-556``)
     on CPU against the shared dataset + pretrained tables."""
     import torch
@@ -156,26 +158,45 @@ def run_reference_baseline(root, params, method):
     _setup_reference_import()
     ref_baseline = _load_reference_baseline()
 
-    torch.manual_seed(2000)
-    np.random.seed(2002)
+    torch.manual_seed(seed)
+    np.random.seed(seed + 2)
 
     args = types.SimpleNamespace(
-        lr=0.01, l2_u=1e-5, l2_i=1e-5, epochs=BASE_EPOCHS, batch_size=256,
-        laten_dim=LATENT, neg_num=1, pool_size=BASE_POOL, laten=LATENT,
+        lr=0.01, l2_u=1e-5, l2_i=1e-5,
+        epochs=BASE_EPOCHS if epochs is None else epochs,
+        batch_size=batch_size,
+        laten_dim=LATENT, neg_num=1,
+        pool_size=BASE_POOL if pool is None else pool, laten=LATENT,
         method=method, pool_init_type=0)
 
-    datasets = ref_baseline.StreamingData(root + "/synth/")
+    datasets = ref_baseline.StreamingData(root + f"/{dataset_name}/")
     model = ref_baseline.SPMF(args, datasets, datasets.user_num,
                               datasets.item_num, LATENT)
     model.MFbase = _shared_pretrained_mfbase(params)
     model.optimizer = torch.optim.Adam(model.MFbase.parameters(),
                                        lr=args.lr, weight_decay=0)
 
+    # DataLoader workers: the reference hardcodes 4 (baseline.py:326); the
+    # toy parity harness keeps that, but single-core measurement lanes pass
+    # 0 so worker processes don't fight over the pinned core
+    import torch.utils.data as _tud
+    _orig_dl = _tud.DataLoader
+
+    def _dl(*a, **k):
+        if "num_workers" in k:
+            k["num_workers"] = numworkers
+        return _orig_dl(*a, **k)
+
     sink = io.StringIO()
-    with contextlib.redirect_stdout(sink):
-        if method == "spmf":
-            model.base_train_not_train(TEST_START - 1)
-        model.run(TEST_START, method)
+    try:
+        if numworkers != 4:
+            _tud.DataLoader = _dl
+        with contextlib.redirect_stdout(sink):
+            if method == "spmf":
+                model.base_train_not_train(TEST_START - 1)
+            model.run(TEST_START, method)
+    finally:
+        _tud.DataLoader = _orig_dl
 
     rec = np.asarray(model.recall, dtype=float)     # (P, 3) for K=(5,10,20)
     ndc = np.asarray(model.ndcg, dtype=float)

@@ -146,7 +146,7 @@ def phase_ours(args):
     })
 
 
-def phase_reference(args):
+def _load_pvr():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "pvr", os.path.join(REPO, "scripts", "parity_vs_reference.py"))
@@ -155,6 +155,81 @@ def phase_reference(args):
     pvr.set_protocol(n_periods=N_PERIODS, train_start=TRAIN_START,
                      test_start=TEST_START, neg=NEG, multi=MULTI,
                      latent=LATENT)
+    return pvr
+
+
+def _weighted(values, counts, drop_last):
+    from sml_tpu.ops.metrics import weighted_period_average
+    val, test = weighted_period_average(values, counts,
+                                        drop_last_test=drop_last)
+    return round(float(val), 5), round(float(test), 5)
+
+
+def phase_ref_baseline(args):
+    """Reference full/fine/spmf at Yelp scale (VERDICT r3 "Next" #5): the
+    paper's SML>baselines ordering, reproduced by the REFERENCE driver on
+    the shared scaled dataset. Protocol (documented, matched on both
+    sides): epochs via --epochs (full uses fewer — it trains on ALL
+    history every stage and 20 reference-default epochs would be ~60 h
+    single-core), batch 256, lr 0.01, l2 1e-5, start period 30.
+    Aggregation: baseline protocol keeps the last period
+    (baseline.py:546 slices [N3:], unlike transfer.py:994's [N3:-1])."""
+    pvr = _load_pvr()
+    params = load_pre(args.root)
+    t0 = time.time()
+    ref = pvr.run_reference_baseline(
+        args.root, params, args.method, seed=args.seed, epochs=args.epochs,
+        pool=args.pool if args.method == "spmf" else 0, numworkers=0)
+    total = time.time() - t0
+    val20, test20 = _weighted(ref["recall@20"], ref["test_num"],
+                              drop_last=False)
+    record(args.root, args.key or f"ref_baseline_{args.method}", {
+        "seed": args.seed, "method": args.method, "epochs": args.epochs,
+        "pool": args.pool if args.method == "spmf" else 0,
+        "total_seconds": round(total, 1),
+        "summary": {"val_recall@20": val20, "test_recall@20": test20},
+        "recall@20": [round(v, 4) for v in ref["recall@20"]],
+        "recall@5": [round(v, 4) for v in ref["recall@5"]],
+        "ndcg@20": [round(v, 4) for v in ref["ndcg@20"]],
+        "test_num": ref["test_num"],
+    })
+
+
+def phase_baseline(args):
+    """Ours-side full/fine/spmf at Yelp scale, matched to phase_ref_baseline."""
+    from sml_tpu.config import BaselineConfig
+    from sml_tpu.train.baselines import BaselineDriver
+    from sml_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(log=lambda m: log(m))
+
+    cfg = BaselineConfig(method=args.method, lr=0.01, l2_user=1e-5,
+                         l2_item=1e-5, epochs=args.epochs, batch_size=256,
+                         pool_size=args.pool if args.method == "spmf" else 0,
+                         pool_init_type=0, start_period=TEST_START,
+                         latent_dim=LATENT, eval_batch_size=1024,
+                         seed=args.seed)
+    driver = BaselineDriver(cfg, dspec_for(args.root),
+                            pretrained=load_pre(args.root))
+    t0 = time.time()
+    summary = driver.run()
+    total = time.time() - t0
+    rec = np.asarray(driver.recall, dtype=float)
+    counts = driver.test_counts
+    val20, test20 = _weighted(rec[:, 2], counts, drop_last=False)
+    record(args.root, args.key or f"ours_baseline_{args.method}", {
+        "seed": args.seed, "method": args.method, "epochs": args.epochs,
+        "pool": args.pool if args.method == "spmf" else 0,
+        "total_seconds": round(total, 1),
+        "summary": {"val_recall@20": val20, "test_recall@20": test20,
+                    **{k: round(v, 5) for k, v in summary.items()}},
+        "recall@20": [round(v, 4) for v in rec[:, 2]],
+        "recall@5": [round(v, 4) for v in rec[:, 0]],
+        "test_num": counts,
+    })
+
+
+def phase_reference(args):
+    pvr = _load_pvr()
     params = load_pre(args.root)
     t0 = time.time()
     ref = pvr.run_reference(args.root, params, ref_seed=args.seed,
@@ -173,7 +248,14 @@ def phase_reference(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["gen", "pretrain", "ours", "reference"])
+                    choices=["gen", "pretrain", "ours", "reference",
+                             "baseline", "ref-baseline"])
+    ap.add_argument("--method", default="fine",
+                    help="baseline phases: full | fine | spmf")
+    ap.add_argument("--epochs", type=int, default=10,
+                    help="baseline phases: epochs per period")
+    ap.add_argument("--pool", type=int, default=30_000,
+                    help="baseline phases: spmf reservoir size")
     ap.add_argument("--root", required=True)
     ap.add_argument("--users", type=int, default=31_000)
     ap.add_argument("--items", type=int, default=21_000)
@@ -212,7 +294,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.root, exist_ok=True)
     {"gen": phase_gen, "pretrain": phase_pretrain,
-     "ours": phase_ours, "reference": phase_reference}[args.phase](args)
+     "ours": phase_ours, "reference": phase_reference,
+     "baseline": phase_baseline,
+     "ref-baseline": phase_ref_baseline}[args.phase](args)
 
 
 if __name__ == "__main__":
