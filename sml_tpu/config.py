@@ -264,6 +264,33 @@ class SMLConfig:
     # strict-parity mode. The torch reference has the same bad-stream tail
     # (scripts/period0_probe.py) and no recovery.
     saddle_retries: int = 0
+    # Detection rule (``saddle_mode``):
+    #   "auto" (default): scale-free, protocol-independent. Stall iff the
+    #     fractional escape from the analytic BCE saddle,
+    #     ``(2 ln 2 - outer_loss) / 2 ln 2``, is below
+    #     ``saddle_tau * (phase+1) / multi_num`` — i.e. the loss must have
+    #     escaped the saddle in proportion to the phase budget spent.
+    #     Checked at ~30% of the budget (``max(1, round(0.3*multi_num))``)
+    #     and at the final phase. The single universal ``saddle_tau`` was
+    #     validated on BOTH recorded protocol fleets (VERDICT r3 "Next"
+    #     #8): it reproduces the good/bad classification of all 16+12 ours
+    #     and 13 reference Yelp period-0 trajectories and flags the
+    #     recorded Adressa stall (tests/test_saddle_autocal.py) with no
+    #     per-protocol tuning.
+    #   "fixed": the round-3 behavior — hand-pinned fractions of 2 ln 2 at
+    #     ``saddle_check_phase`` / the final phase (Yelp-calibrated,
+    #     scripts/period0_probe.py), kept for A/B reproducibility.
+    saddle_mode: str = "auto"
+    saddle_tau: float = 0.23
+    # Escalation when plain re-rolls keep stalling (Adressa seed 2008
+    # burned both r3 retries): the LAST retry additionally θ-identity
+    # warm-starts the re-rolled init (``theta_warmstart_steps`` semantics,
+    # forced with ``saddle_warmstart_steps`` steps) — the identity is off
+    # the zero-score saddle by construction, so the final attempt cannot
+    # start pinned. Warm-start costs ~9% mean recall vs a GOOD stream
+    # (seedvar_r2.json) but strictly beats the stalled floor it replaces.
+    saddle_escalate_warmstart: bool = True
+    saddle_warmstart_steps: int = 400
     saddle_check_phase: int = 3
     saddle_frac: float = 0.88
     # second check at the LAST phase of the guarded period: streams that

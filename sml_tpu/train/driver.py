@@ -226,19 +226,35 @@ class SMLDriver:
         (scripts/period0_probe.py calibration: good streams are ≤0.85 of
         the saddle by phase 3, stalled ones ≥0.92)."""
         saddle = 2.0 * float(np.log(2.0))
-        thresh = self.cfg.saddle_frac * saddle
-        final_thresh = self.cfg.saddle_final_frac * saddle
-        # protocols with fewer phases than the calibrated check index still
-        # get exactly one early check (at their last phase)
-        check_phase = min(self.cfg.saddle_check_phase, self.cfg.multi_num - 1)
-        for phase in range(self.cfg.multi_num):
+        multi = self.cfg.multi_num
+        if self.cfg.saddle_mode == "auto":
+            # scale-free rule (see SMLConfig.saddle_mode): the fractional
+            # escape from the analytic saddle must keep pace with the
+            # phase budget — stall iff
+            # (saddle - L) / saddle < tau * (phase+1) / multi_num
+            check_phase = min(max(1, round(0.3 * multi)), multi - 1)
+
+            def stalled_at(phase, loss):
+                escape = (saddle - loss) / saddle
+                return escape < self.cfg.saddle_tau * (phase + 1) / multi
+        else:
+            thresh = self.cfg.saddle_frac * saddle
+            final_thresh = self.cfg.saddle_final_frac * saddle
+            # protocols with fewer phases than the calibrated check index
+            # still get exactly one early check (at their last phase)
+            check_phase = min(self.cfg.saddle_check_phase, multi - 1)
+
+            def stalled_at(phase, loss):
+                # exact legacy compound (both clauses can apply when
+                # check_phase == multi-1 under a tiny multi_num)
+                return ((phase == check_phase and loss > thresh)
+                        or (phase == multi - 1 and loss > final_thresh))
+
+        for phase in range(multi):
             state = self._one_phase(state, prep_t, prep_tt, val)
             self._log_phase(state, d_time, phase)
-            if guard and (
-                    (phase == check_phase
-                     and self._last_outer_loss > thresh)
-                    or (phase == self.cfg.multi_num - 1
-                        and self._last_outer_loss > final_thresh)):
+            if guard and phase in (check_phase, multi - 1) \
+                    and stalled_at(phase, self._last_outer_loss):
                 return state, True
         return state, False
 
@@ -379,15 +395,21 @@ class SMLDriver:
                 attempt += 1
                 self.report.saddle_retries_used += 1
                 self._flush_evals()   # the aborted attempt's eval rows
+                # the LAST retry escalates: θ-identity warm-start the
+                # re-rolled init (SMLConfig.saddle_escalate_warmstart) so
+                # the final attempt cannot start pinned at the saddle
+                escalate = (attempt == budget
+                            and self.cfg.saddle_escalate_warmstart)
                 self.logger.log(kind="saddle_retry", d_time=d_time,
-                                attempt=attempt,
+                                attempt=attempt, mode=self.cfg.saddle_mode,
+                                escalated=escalate,
                                 outer_loss=self._last_outer_loss)
                 # re-roll the (θ-init, stream) PAIR: the stall belongs to
                 # the pair, and for some θ draws every stream stalls
                 state = self.engine.reinit_theta(
                     _copy_state(state0)._replace(
                         key=_fold_key(state0.key, attempt)),
-                    salt=attempt)
+                    salt=attempt, warmstart=escalate)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)

@@ -243,7 +243,8 @@ class SMLEngine:
         return state
 
     def _theta_warmstart(self, theta: TransferParams, mf: MFParams,
-                         key: jax.Array) -> TransferParams:
+                         key: jax.Array,
+                         steps: Optional[int] = None) -> TransferParams:
         """Fit Θ_side(x, x) ≈ x on pretrained-table rows (see
         ``SMLConfig.theta_warmstart_steps``). At every period start
         ``last == current tables``, so the identity is the value-preserving
@@ -257,6 +258,7 @@ class SMLEngine:
         cfg = self.cfg
         tx = torch_adam(cfg.theta_warmstart_lr)
         n_rows = cfg.theta_warmstart_rows
+        n_steps = cfg.theta_warmstart_steps if steps is None else steps
 
         def loss_fn(th, xu, xi):
             pu = transfer_mod.apply_rows(th, cfg.transfer, "user", xu, xu)
@@ -277,7 +279,7 @@ class SMLEngine:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run(th, key):
-            keys = jax.random.split(key, cfg.theta_warmstart_steps)
+            keys = jax.random.split(key, n_steps)
             (th, _), losses = jax.lax.scan(step, (th, tx.init(th)), keys)
             return th, losses
 
@@ -286,21 +288,30 @@ class SMLEngine:
             float(losses[-1])
         return theta
 
-    def reinit_theta(self, state: SMLState, salt: int) -> SMLState:
+    def reinit_theta(self, state: SMLState, salt: int,
+                     warmstart: bool = False) -> SMLState:
         """Fresh Θ init (and optimizer moments) from a salted fold of the
         run's θ key — the saddle guard's re-roll. The first-period stall is
         a property of the (θ-init, stream) PAIR: for some θ draws every
         stream stalls (seed-2001 retry diagnostics, yelp_scale_r2.json), so
-        retrying with a new stream alone cannot escape."""
+        retrying with a new stream alone cannot escape. ``warmstart=True``
+        (the guard's last-retry escalation,
+        ``SMLConfig.saddle_escalate_warmstart``) additionally θ-identity
+        warm-starts the re-rolled init so the final attempt cannot start
+        pinned at the zero-score saddle."""
         key = jax.random.PRNGKey(self.cfg.seed)
         _, ktr, _ = jax.random.split(key, 3)
         if self.cfg.theta_seed is not None:
             ktr = jax.random.PRNGKey(self.cfg.theta_seed)
         ktr = jax.random.fold_in(ktr, 104729 + salt)
         theta = init_transfer(ktr, self.cfg.transfer)
-        if self.cfg.theta_warmstart_steps > 0:
+        steps = self.cfg.theta_warmstart_steps
+        if warmstart:
+            steps = max(steps, self.cfg.saddle_warmstart_steps)
+        if steps > 0:
             theta = self._theta_warmstart(theta, state.mf,
-                                          jax.random.fold_in(ktr, 1))
+                                          jax.random.fold_in(ktr, 1),
+                                          steps=steps)
         return state._replace(theta=theta, tr_opt=self.tr_tx.init(theta))
 
     def _next_key(self, state: SMLState) -> Tuple[SMLState, jax.Array]:
