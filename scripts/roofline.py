@@ -225,34 +225,66 @@ def refresh_roofline(sizes=(131_072, 524_288, 2_097_152)):
 
 
 def eval_roofline():
+    """The 999-negative scoring loop across SCORING_MODES and the two
+    production item-table sizes (toy/roofline 20k, Yelp-scale 120k).
+
+    Traffic model per row: gather modes move (C+1)·d·itemsize random
+    bytes; matmul modes stream the (B,I) score matrix, ≈ 2·I·4 bytes/row
+    (write + column-pick re-read), with the table read amortized over the
+    batch. Metric sums are cross-checked against mode='gather' per shape
+    (differences are f32-reduction-order rank flips; see
+    tests/test_eval_scoring.py for the exact-parity construction)."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from sml_tpu.eval.evaluator import make_eval_fn
     from sml_tpu.models.mf import init_mf
 
-    n_users, n_items, cands = 100_000, 20_000, 1000
+    n_users, cands = 100_000, 1000
     n_rows = 16 * BATCH
-    key = jax.random.PRNGKey(3)
-    mfp = init_mf(key, n_users, n_items, DIM)
-    rows = jnp.concatenate([
-        jax.random.randint(key, (n_rows, 1), 0, n_users),
-        jax.random.randint(key, (n_rows, cands), 0, n_items)], axis=1)
-    mask = jnp.ones((n_rows,))
-    fn = jax.jit(make_eval_fn((5, 10, 20), BATCH))
-    dt, _ = timed(fn, mfp, rows, mask)
-    # bytes: gather cands x d item rows + user rows per example
-    bytes_moved = n_rows * (cands + 1) * DIM * 4
-    flops = 2 * n_rows * cands * DIM
-    return {
-        "rows": n_rows,
-        "total_ms": dt * 1e3,
-        "rows_per_s": n_rows / dt,
-        "hbm_gbs": bytes_moved / dt / 1e9,
-        "hbm_frac_of_peak": bytes_moved / dt / HBM_BYTES_S,
-        "tflops": flops / dt / 1e12,
-    }
+    out = {}
+    for n_items in (20_000, 120_000):
+        key = jax.random.PRNGKey(3)
+        mfp = init_mf(key, n_users, n_items, DIM)
+        rows = jnp.concatenate([
+            jax.random.randint(key, (n_rows, 1), 0, n_users),
+            jax.random.randint(key, (n_rows, cands), 0, n_items)], axis=1)
+        mask = jnp.ones((n_rows,))
+        shape_out = {}
+        base_hit = None
+        for mode in ("gather", "matmul", "gather_bf16", "matmul_bf16"):
+            fn = jax.jit(make_eval_fn((5, 10, 20), BATCH, scoring=mode))
+            try:
+                dt, acc = timed(fn, mfp, rows, mask)
+            except Exception as e:   # one mode OOMing must not kill rest
+                shape_out[mode] = {"error": f"{type(e).__name__}"}
+                continue
+            hit20 = float(acc[20][0])
+            if mode == "gather":
+                base_hit = hit20
+            itemsize = 2 if mode.endswith("bf16") else 4
+            if mode.startswith("matmul"):
+                bytes_moved = n_rows * 2 * n_items * 4 \
+                    + (n_rows // BATCH) * n_items * DIM * itemsize
+            else:
+                bytes_moved = n_rows * (cands + 1) * DIM * itemsize
+            flops = 2 * n_rows * DIM * (
+                n_items if mode.startswith("matmul") else cands)
+            shape_out[mode] = {
+                "total_ms": dt * 1e3,
+                "rows_per_s": n_rows / dt,
+                "hbm_gbs": bytes_moved / dt / 1e9,
+                "hbm_frac_of_peak": bytes_moved / dt / HBM_BYTES_S,
+                "tflops": flops / dt / 1e12,
+                "hit20_delta_vs_gather": (None if base_hit is None
+                                          else hit20 - base_hit),
+            }
+            log(f"eval items={n_items} {mode}: {dt*1e3:.1f} ms, "
+                f"{n_rows/dt:,.0f} rows/s, hitΔ="
+                f"{shape_out[mode]['hit20_delta_vs_gather']}")
+        out[f"items_{n_items}"] = shape_out
+    out["rows"] = n_rows
+    return out
 
 
 def main():

@@ -187,6 +187,14 @@ class SMLConfig:
     # evaluation
     topk: Sequence[int] = (5, 10, 20)
     eval_batch_size: int = 1024
+    # Candidate-scoring mode for the batched evaluator
+    # (eval/evaluator.py SCORING_MODES): 'gather' is the reference's exact
+    # per-row embedding gather (MF.py:50-57); 'matmul' streams the item
+    # table through the MXU and picks candidate columns — same ranks up to
+    # f32 reduction order; '*_bf16' halve table traffic again; 'auto'
+    # picks by shape at trace time. 'gather' keeps the reference's exact
+    # scoring order.
+    eval_scoring: str = "auto"
     # Per-test-period hit attribution by entity freshness (the reference's
     # ``test_model_pre`` analysis, ``evalution/evaluation2.py:28-70``):
     # hits on new users / new items per K plus the four old/new-user x
@@ -340,6 +348,9 @@ class PretrainConfig:
     latent_dim: int = 64
     neg_tries: int = 16
     emb_init_scale: float = 1.0
+    # 'gather' by default: pretraining early-stops on eval recall, and the
+    # committed cross-framework parity runs used reference-exact scoring.
+    eval_scoring: str = "gather"
 
 
 @dataclass(frozen=True)
@@ -363,6 +374,9 @@ class BaselineConfig:
     seed: int = 2000
     neg_tries: int = 16
     emb_init_scale: float = 1.0
+    # 'gather' by default: the news protocol early-stops on val recall
+    # (early_stop), so eval scoring feeds back into the trajectory.
+    eval_scoring: str = "gather"
 
 
 def yelp_data(root: str) -> DataSpec:

@@ -155,9 +155,11 @@ class BaselineDriver:
             _make_spmf_epoch(cfg.batch_size, cfg.l2_user, cfg.l2_item,
                              self.tx, cfg.neg_tries),
             donate_argnums=(0, 1), static_argnames=("n_batches",))
-        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size,
+                                          scoring=cfg.eval_scoring))
         self._eval_attr = jax.jit(
-            make_attributed_eval_fn(cfg.topk, cfg.eval_batch_size))
+            make_attributed_eval_fn(cfg.topk, cfg.eval_batch_size,
+                                    scoring=cfg.eval_scoring))
         self._probs = jax.jit(rank_sampling_probs)
 
         # new-entity masks for hit attribution (baseline.py:120-121,419-421)

@@ -81,7 +81,8 @@ class SMLEngine:
                               donate_argnums=(0, 1))
         self._outer = jax.jit(make_outer_epoch(cfg, self.tr_tx),
                               donate_argnums=(0, 1))
-        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size))
+        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size,
+                                          scoring=cfg.eval_scoring))
         self._eval_attr = None   # lazily-jitted attributed evaluator
         self._refresh_impl = functools.partial(
             transfer_mod.apply_tables, cfg=cfg.transfer)
@@ -579,7 +580,8 @@ class SMLEngine:
         if self._eval_attr is None:
             from sml_tpu.eval.evaluator import make_attributed_eval_fn
             self._eval_attr = jax.jit(make_attributed_eval_fn(
-                self.cfg.topk, self.cfg.eval_batch_size))
+                self.cfg.topk, self.cfg.eval_batch_size,
+                scoring=self.cfg.eval_scoring))
         padded = (test_rows if isinstance(test_rows, PaddedRows)
                   else self.make_eval_set(test_rows))
         if self.placement is not None:

@@ -52,7 +52,8 @@ def pretrain_mf(cfg: PretrainConfig, spec: DataSpec, pretrain_period: int,
                             cfg.neg_tries,
                             fast_lr=cfg.lr if fast else None),
         donate_argnums=(0, 1))
-    eval_fn = jax.jit(make_eval_fn(topks, 1024))
+    eval_fn = jax.jit(make_eval_fn(topks, 1024,
+                                   scoring=cfg.eval_scoring))
 
     key = jax.random.PRNGKey(cfg.seed)
     kinit, key = jax.random.split(key)
