@@ -162,6 +162,45 @@ def main():
                 res[name].get("steady_ms", 1e9) > 120_000:
             break   # don't pay twice if hopeless
 
+    # 6b. scatter-free mask build: membership by all-pairs compare,
+    #     any-reduced over candidates, processed in (row, item) chunks so
+    #     the (R, C, I_blk) bool transient stays tile-sized under XLA
+    #     fusion. Zero indexed memory ops — pure VPU compares
+    #     (rows*C*I of them), which is the point: indexed ops are
+    #     issue-bound on this part, vector compares are not.
+    def build_compare(cd):
+        iblk = 2048
+        rblk = 256
+
+        def row_chunk(cd_chunk):            # (rblk, C+1)
+            outs = []
+            for i0 in range(0, ipad, iblk):
+                cols = jnp.arange(i0, i0 + iblk, dtype=jnp.int32)
+                hit = jnp.any(cd_chunk[:, :, None] == cols[None, None, :],
+                              axis=1)
+                outs.append(hit)
+            return jnp.concatenate(outs, axis=1)   # (rblk, ipad) bool
+
+        return jax.lax.map(row_chunk,
+                           cd.reshape(-1, rblk, cands + 1)
+                           ).reshape(n_rows, ipad)
+    try:
+        fn = jax.jit(build_compare)
+        t0 = time.time()
+        out = fn(cand)
+        _sync(out)
+        dt1 = time.time() - t0
+        t0 = time.time()
+        _sync(fn(cand))
+        dt = time.time() - t0
+        res["mask_build_compare"] = {"first_s": round(dt1, 1),
+                                     "steady_ms": round(dt * 1e3, 1)}
+        log(f"mask_build_compare: first {dt1:.1f}s steady {dt*1e3:.1f}ms")
+        del out
+    except Exception as e:
+        res["mask_build_compare"] = {"error": f"{type(e).__name__}: {e}"}
+        log(f"mask_build_compare FAILED: {type(e).__name__}: {e}")
+
     # 7. masked rank with a HOST-built uint32-packed mask, fully fused XLA:
     #    unpack via shift/and (vectorized), zero indexed reads per batch
     words = ipad // 32
