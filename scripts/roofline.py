@@ -239,7 +239,9 @@ def eval_roofline():
 
     from sml_tpu.eval.evaluator import make_eval_fn
     from sml_tpu.models.mf import init_mf
+    from sml_tpu.ops.eval_kernel import build_packed_mask
 
+    use_pallas = jax.default_backend() == "tpu"
     n_users, cands = 100_000, 1000
     n_rows = 16 * BATCH
     out = {}
@@ -251,11 +253,22 @@ def eval_roofline():
             jax.random.randint(key, (n_rows, cands), 0, n_items)], axis=1)
         mask = jnp.ones((n_rows,))
         shape_out = {}
+        # once-per-eval-set packed mask build (amortized over the up-to
+        # multi_num*(mf+tr epochs) in-training evals per period)
+        build = jax.jit(lambda r, n=n_items: build_packed_mask(r, n))
+        t_build, cand_mask = timed(build, rows[:, 2:], repeats=3)
+        shape_out["mask_build"] = {"total_ms": t_build * 1e3,
+                                   "rows_per_s": n_rows / t_build}
+        log(f"eval items={n_items} mask_build: {t_build*1e3:.1f} ms")
         base_hit = None
-        for mode in ("gather", "matmul", "gather_bf16", "matmul_bf16"):
-            fn = jax.jit(make_eval_fn((5, 10, 20), BATCH, scoring=mode))
+        for mode in ("gather", "matmul", "gather_bf16", "matmul_bf16",
+                     "masked", "masked_bf16"):
+            fn = jax.jit(make_eval_fn((5, 10, 20), BATCH, scoring=mode,
+                                      use_pallas=use_pallas))
+            fargs = ((mfp, rows, mask, cand_mask)
+                     if mode.startswith("masked") else (mfp, rows, mask))
             try:
-                dt, acc = timed(fn, mfp, rows, mask)
+                dt, acc = timed(fn, *fargs)
             except Exception as e:   # one mode OOMing must not kill rest
                 shape_out[mode] = {"error": f"{type(e).__name__}"}
                 continue
@@ -263,13 +276,19 @@ def eval_roofline():
             if mode == "gather":
                 base_hit = hit20
             itemsize = 2 if mode.endswith("bf16") else 4
-            if mode.startswith("matmul"):
+            if mode.startswith("masked"):
+                # kernel: table re-streamed per row block + packed mask
+                # read; the (B, I) score matrix never leaves VMEM
+                ipad = -(-n_items // 4096) * 4096
+                bytes_moved = ((n_rows // 256) * ipad * DIM * itemsize
+                               + n_rows * ipad // 8)
+            elif mode.startswith("matmul"):
                 bytes_moved = n_rows * 2 * n_items * 4 \
                     + (n_rows // BATCH) * n_items * DIM * itemsize
             else:
                 bytes_moved = n_rows * (cands + 1) * DIM * itemsize
             flops = 2 * n_rows * DIM * (
-                n_items if mode.startswith("matmul") else cands)
+                cands if mode.startswith("gather") else n_items)
             shape_out[mode] = {
                 "total_ms": dt * 1e3,
                 "rows_per_s": n_rows / dt,

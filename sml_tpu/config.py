@@ -193,8 +193,16 @@ class SMLConfig:
     # table through the MXU and picks candidate columns — same ranks up to
     # f32 reduction order; '*_bf16' halve table traffic again; 'auto'
     # picks by shape at trace time. 'gather' keeps the reference's exact
-    # scoring order.
+    # scoring order. 'masked'/'masked_bf16' stream scores through the MXU
+    # against a packed candidate-membership mask (zero indexed reads per
+    # eval; ops/eval_kernel.py); 'auto' uses them for eval sets the
+    # protocol re-evaluates (val under in-training evals) where the
+    # once-per-set mask build amortizes.
     eval_scoring: str = "auto"
+    # Upper item-count bound for auto-building candidate masks: mask rows
+    # cost pad(I)/8 bytes each (vs 4·(2+C) for the id row itself), so cap
+    # where the mask would dominate eval-set memory.
+    eval_mask_max_items: int = 262_144
     # Per-test-period hit attribution by entity freshness (the reference's
     # ``test_model_pre`` analysis, ``evalution/evaluation2.py:28-70``):
     # hits on new users / new items per K plus the four old/new-user x
@@ -290,14 +298,19 @@ class SMLConfig:
     #     scripts/period0_probe.py), kept for A/B reproducibility.
     saddle_mode: str = "auto"
     saddle_tau: float = 0.23
-    # Escalation when plain re-rolls keep stalling (Adressa seed 2008
-    # burned both r3 retries): the LAST retry additionally θ-identity
-    # warm-starts the re-rolled init (``theta_warmstart_steps`` semantics,
-    # forced with ``saddle_warmstart_steps`` steps) — the identity is off
-    # the zero-score saddle by construction, so the final attempt cannot
-    # start pinned. Warm-start costs ~9% mean recall vs a GOOD stream
-    # (seedvar_r2.json) but strictly beats the stalled floor it replaces.
-    saddle_escalate_warmstart: bool = True
+    # Escalation when plain re-rolls keep stalling: the LAST retry can
+    # additionally θ-identity warm-start the re-rolled init
+    # (``theta_warmstart_steps`` semantics, forced with
+    # ``saddle_warmstart_steps`` steps). Default OFF: the round-4
+    # measurement on the seed it targeted (Adressa 2008, retries
+    # exhausted) REGRESSED — the escalated final attempt finished at the
+    # ~0.02 random floor (test r@20 0.0188, ``adressa_r3.json:
+    # sml_seed2008_autocal``) vs 0.0493 for the plain exhausted-retries
+    # run, i.e. the identity warm-start can destroy the transfer at the
+    # news shape rather than merely dampen it. The final attempt runs
+    # unguarded and is kept unconditionally, so escalation must only be
+    # enabled where it is measured to help.
+    saddle_escalate_warmstart: bool = False
     saddle_warmstart_steps: int = 400
     saddle_check_phase: int = 3
     saddle_frac: float = 0.88

@@ -26,6 +26,16 @@ Scoring modes (``scoring=``):
 ``auto``         ``matmul`` when the score matrix is cheaper to stream than
                  the candidate rows (items ≤ 48·C), else ``gather``. Shapes
                  are static under jit, so the choice is made at trace time.
+``masked``/
+``masked_bf16``  zero indexed reads in steady state: scores stream through
+                 the MXU tile-by-tile and are compared against the target
+                 score under a precomputed packed candidate-membership mask
+                 (``ops/eval_kernel.py``) — the (B, I) score matrix never
+                 reaches HBM when the fused Pallas kernel is available. The
+                 mask is built once per eval set and cached with it; when
+                 no mask operand is supplied these modes degrade to
+                 ``matmul``/``matmul_bf16``. ``auto`` prefers ``masked``
+                 whenever a mask is present.
 """
 
 from __future__ import annotations
@@ -37,13 +47,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from sml_tpu.models.mf import MFParams
+from sml_tpu.ops import eval_kernel
 from sml_tpu.ops.metrics import hits_and_ndcg_at, rank_of_target
 
-SCORING_MODES = ("gather", "matmul", "gather_bf16", "matmul_bf16", "auto")
+SCORING_MODES = ("gather", "matmul", "gather_bf16", "matmul_bf16",
+                 "masked", "masked_bf16", "auto")
 
 
-def _resolve_mode(scoring: str, n_items: int, n_cand: int) -> str:
+def _resolve_mode(scoring: str, n_items: int, n_cand: int,
+                  has_mask: bool) -> str:
     if scoring == "auto":
+        if has_mask:
+            return "masked"
         # streaming the (B, I) score matrix costs I·4 bytes/row; gathering
         # candidate rows costs C·4·d bytes/row (d=64 ⇒ 256 B each, served
         # at single-digit % of HBM peak). 48·C keeps a safety margin for
@@ -51,47 +66,73 @@ def _resolve_mode(scoring: str, n_items: int, n_cand: int) -> str:
         return "matmul" if n_items <= 48 * n_cand else "gather"
     if scoring not in SCORING_MODES:
         raise ValueError(f"unknown eval scoring mode: {scoring!r}")
+    if scoring.startswith("masked") and not has_mask:
+        # no mask shipped with this eval set: same data movement class
+        return "matmul_bf16" if scoring.endswith("bf16") else "matmul"
     return scoring
 
 
-def _make_scorer(scoring: str):
-    """Returns ``(prep, score)``: ``prep(mfp) -> ctx`` once per eval (casts
-    live here so the scan body stays cheap), ``score(ctx, users, cand)``
-    per batch."""
+def _make_ranker(scoring: str, use_pallas: bool):
+    """Returns ``(prep, rank)``: ``prep(mfp) -> ctx`` once per eval (casts /
+    transposes live here so the scan body stays cheap),
+    ``rank(ctx, rows, cand_mask) -> (B,) int32`` per batch."""
 
     def prep(mfp: MFParams):
+        ue_t, ie_t = mfp.user_emb, mfp.item_emb
         if scoring.endswith("bf16"):
-            return (mfp.user_emb.astype(jnp.bfloat16),
-                    mfp.item_emb.astype(jnp.bfloat16))
-        return (mfp.user_emb, mfp.item_emb)
+            ue_t = ue_t.astype(jnp.bfloat16)
+            ie_t = ie_t.astype(jnp.bfloat16)
+        it_t = None
+        if scoring.startswith("masked") or scoring == "auto":
+            # (d, I_pad) transposed table for the masked kernel: lanes run
+            # along items, and the pad rows are masked out by construction
+            ipad = eval_kernel.pad_items(ie_t.shape[0])
+            it_t = jnp.pad(ie_t, ((0, ipad - ie_t.shape[0]), (0, 0))).T
+        return (ue_t, ie_t, it_t)
 
-    def score(ctx, users: jax.Array, cand: jax.Array) -> jax.Array:
-        ue_t, ie_t = ctx
-        mode = _resolve_mode(scoring, ie_t.shape[0], cand.shape[1])
+    def rank(ctx, r: jax.Array, cand_mask) -> jax.Array:
+        ue_t, ie_t, it_t = ctx
+        users, cand = r[:, 0], r[:, 1:]
+        mode = _resolve_mode(scoring, ie_t.shape[0], cand.shape[1],
+                             cand_mask is not None)
+        if mode.startswith("masked"):
+            ue = ue_t[users]                               # (B, d)
+            # target score via a B-row gather + VPU dot; the mask covers
+            # negatives only, so the target never self-compares and the
+            # reduction-order difference vs the MXU tile is harmless
+            sstar = jnp.sum(ue.astype(jnp.float32)
+                            * ie_t[r[:, 1]].astype(jnp.float32),
+                            axis=1, keepdims=True)
+            return eval_kernel.masked_rank(ue, it_t, sstar, cand_mask,
+                                           use_pallas=use_pallas)
         if mode.startswith("matmul"):
             all_s = jax.lax.dot_general(
                 ue_t[users], ie_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (B, I)
-            return jnp.take_along_axis(all_s, cand, axis=1)
+            return rank_of_target(jnp.take_along_axis(all_s, cand, axis=1))
         ue = ue_t[users]                                   # (B, d)
         ce = ie_t[cand]                                    # (B, C, d)
-        return jnp.einsum("bd,bcd->bc", ue, ce,
-                          preferred_element_type=jnp.float32)
+        return rank_of_target(jnp.einsum("bd,bcd->bc", ue, ce,
+                                         preferred_element_type=jnp.float32))
 
-    return prep, score
+    return prep, rank
 
 
 def make_eval_fn(topks: Sequence[int], batch_size: int,
-                 scoring: str = "gather"):
-    """Build ``evaluate(mf, rows, mask) -> {K: (hit_sum, ndcg_sum)}``.
+                 scoring: str = "gather", use_pallas: bool = False):
+    """Build ``evaluate(mf, rows, mask, cand_mask=None)
+    -> {K: (hit_sum, ndcg_sum)}``.
 
     ``rows``: (n_pad, 2 + C) int32, ``mask``: (n_pad,). Padded rows
-    contribute zero via the mask, so no cond-skip is needed.
+    contribute zero via the mask, so no cond-skip is needed. ``cand_mask``
+    (optional): (n_pad, words) uint32 packed negative-membership mask
+    (``ops/eval_kernel.py``) enabling the masked scoring modes.
     """
     topks = tuple(topks)
-    prep, score = _make_scorer(scoring)
+    prep, rank_fn = _make_ranker(scoring, use_pallas)
 
-    def evaluate(mfp: MFParams, rows: jax.Array, mask: jax.Array
+    def evaluate(mfp: MFParams, rows: jax.Array, mask: jax.Array,
+                 cand_mask: jax.Array = None
                  ) -> Dict[int, Tuple[jax.Array, jax.Array]]:
         ctx = prep(mfp)
         nb = rows.shape[0] // batch_size
@@ -99,8 +140,10 @@ def make_eval_fn(topks: Sequence[int], batch_size: int,
         def body(acc, i):
             r = lax.dynamic_slice_in_dim(rows, i * batch_size, batch_size)
             m = lax.dynamic_slice_in_dim(mask, i * batch_size, batch_size)
-            scores = score(ctx, r[:, 0], r[:, 1:])
-            rank = rank_of_target(scores)
+            cm = (None if cand_mask is None else
+                  lax.dynamic_slice_in_dim(cand_mask, i * batch_size,
+                                           batch_size))
+            rank = rank_fn(ctx, r, cm)
             res = hits_and_ndcg_at(rank, m, topks)
             return {k: (acc[k][0] + res[k][0], acc[k][1] + res[k][1])
                     for k in topks}, None
@@ -113,7 +156,8 @@ def make_eval_fn(topks: Sequence[int], batch_size: int,
 
 
 def make_attributed_eval_fn(topks: Sequence[int], batch_size: int,
-                            scoring: str = "gather"):
+                            scoring: str = "gather",
+                            use_pallas: bool = False):
     """Evaluation with hit attribution by entity freshness.
 
     Capability parity with ``test_hit_new`` / ``test_model_pre``
@@ -126,10 +170,11 @@ def make_attributed_eval_fn(topks: Sequence[int], batch_size: int,
     """
     topks = tuple(topks)
     kmax = max(topks)
-    prep, score = _make_scorer(scoring)
+    prep, rank_fn = _make_ranker(scoring, use_pallas)
 
     def evaluate(mfp: MFParams, rows: jax.Array, mask: jax.Array,
-                 is_new_user: jax.Array, is_new_item: jax.Array):
+                 is_new_user: jax.Array, is_new_item: jax.Array,
+                 cand_mask: jax.Array = None):
         ctx = prep(mfp)
         nb = rows.shape[0] // batch_size
 
@@ -137,8 +182,10 @@ def make_attributed_eval_fn(topks: Sequence[int], batch_size: int,
             base, new_u, new_i, buckets = acc
             r = lax.dynamic_slice_in_dim(rows, i * batch_size, batch_size)
             m = lax.dynamic_slice_in_dim(mask, i * batch_size, batch_size)
-            scores = score(ctx, r[:, 0], r[:, 1:])
-            rank = rank_of_target(scores)
+            cm = (None if cand_mask is None else
+                  lax.dynamic_slice_in_dim(cand_mask, i * batch_size,
+                                           batch_size))
+            rank = rank_fn(ctx, r, cm)
             res = hits_and_ndcg_at(rank, m, topks)
             base = {k: (base[k][0] + res[k][0], base[k][1] + res[k][1])
                     for k in topks}

@@ -42,6 +42,10 @@ class PaddedRows(NamedTuple):
     rows: jax.Array    # (n_pad, C) int32
     mask: jax.Array    # (n_pad,) float32, 1.0 for real rows
     n_real: int        # true row count (host int)
+    # optional packed negative-membership mask for the masked eval modes
+    # ((n_pad, words) uint32, ``ops/eval_kernel.py`` bitplane layout);
+    # built once per eval set and cached with it
+    cand_mask: jax.Array = None
 
 
 def pad_rows(arr: np.ndarray, batch_size: int,

@@ -80,9 +80,11 @@ def shard_batch(padded, mesh: Mesh):
     """Shard padded epoch rows over the 'data' axis (rows replicated over
     'model')."""
     data = NamedSharding(mesh, P("data"))
+    cm = getattr(padded, "cand_mask", None)
     return padded._replace(
         rows=jax.device_put(padded.rows, data),
-        mask=jax.device_put(padded.mask, data))
+        mask=jax.device_put(padded.mask, data),
+        **({"cand_mask": jax.device_put(cm, data)} if cm is not None else {}))
 
 
 def replicate(tree, mesh: Mesh):

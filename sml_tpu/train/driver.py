@@ -328,7 +328,7 @@ class SMLDriver:
                 and (self.cfg.eval_during_inner
                      or self.cfg.eval_during_outer)):
             self._eval_cache[(d_time, "val")] = \
-                self.engine.make_eval_set(sd.val)
+                self.engine.make_eval_set(sd.val, build_mask=True)
 
     def _record_test(self, state: SMLState, now_test: np.ndarray,
                      period: int) -> None:
@@ -373,7 +373,7 @@ class SMLDriver:
                                 or self.cfg.eval_during_outer):
             cached = self._eval_cache.pop((d_time, "val"), None)
             val = cached if cached is not None else \
-                self.engine.make_eval_set(val)
+                self.engine.make_eval_set(val, build_mask=True)
         sd = sd._replace(val=val)
 
         prep_t = self.engine.prep_inner(sd.set_t)

@@ -20,6 +20,7 @@ from sml_tpu.eval.evaluator import make_eval_fn
 from sml_tpu.models import transfer as transfer_mod
 from sml_tpu.models.mf import MFParams, init_mf, with_tables
 from sml_tpu.models.transfer import TransferParams, init_transfer
+from sml_tpu.ops import eval_kernel
 from sml_tpu.ops.batching import PaddedRows, pad_rows
 from sml_tpu.ops.sampling import PeriodIndex, build_period_index
 from sml_tpu.train.optim import torch_adam
@@ -81,9 +82,26 @@ class SMLEngine:
                               donate_argnums=(0, 1))
         self._outer = jax.jit(make_outer_epoch(cfg, self.tr_tx),
                               donate_argnums=(0, 1))
+        # fused masked-rank eval kernel: single-device TPU only (under a
+        # mesh / multihost placement the pure-XLA masked path shards
+        # cleanly through GSPMD; a pallas_call would not partition)
+        self._eval_pallas = jax.default_backend() == "tpu"
         self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size,
-                                          scoring=cfg.eval_scoring))
+                                          scoring=cfg.eval_scoring,
+                                          use_pallas=self._eval_pallas))
         self._eval_attr = None   # lazily-jitted attributed evaluator
+        # Build packed candidate masks (ops/eval_kernel.py) for eval sets
+        # the protocol re-evaluates (val during in-training evals): the
+        # masked modes remove all indexed reads from the eval hot path.
+        # ~0.26 s device build per 16k-row set, amortized over up to
+        # multi_num*(mf+tr epochs) evals of the same set per period.
+        self._want_masks = (
+            cfg.eval_scoring in ("masked", "masked_bf16")
+            or (cfg.eval_scoring == "auto"
+                and (cfg.eval_during_inner or cfg.eval_during_outer)
+                and n_items <= cfg.eval_mask_max_items))
+        self._mask_build = jax.jit(functools.partial(
+            eval_kernel.build_packed_mask, n_items=n_items))
         self._refresh_impl = functools.partial(
             transfer_mod.apply_tables, cfg=cfg.transfer)
         self._refresh = jax.jit(self._refresh_impl)
@@ -110,8 +128,9 @@ class SMLEngine:
         # optional multi-host placement strategy
         # (``parallel.multihost.MultihostPlacement``): when set, every padded
         # batch / sampling index built here is turned into a global array so
-        # the same jitted epochs span processes
-        self.placement = None
+        # the same jitted epochs span processes (property: assigning it
+        # swaps the eval to the GSPMD-partitionable masked path)
+        self._placement = None
 
     # ------------------------------------------------------------------ state
     def init_state(self, pretrained_mf: Optional[MFParams] = None,
@@ -155,6 +174,29 @@ class SMLEngine:
             key=krun,
         )
 
+    @property
+    def placement(self):
+        return self._placement
+
+    @placement.setter
+    def placement(self, p) -> None:
+        self._placement = p
+        if p is not None:
+            self._disable_eval_pallas()
+
+    def _disable_eval_pallas(self) -> None:
+        """Swap the eval jits to the pure-XLA masked path: a pallas_call
+        does not partition under GSPMD, while the XLA formulation shards
+        cleanly over the mesh's data axis."""
+        if not self._eval_pallas:
+            return
+        self._eval_pallas = False
+        self._eval = jax.jit(make_eval_fn(self.cfg.topk,
+                                          self.cfg.eval_batch_size,
+                                          scoring=self.cfg.eval_scoring,
+                                          use_pallas=False))
+        self._eval_attr = None
+
     def set_mesh(self, mesh) -> None:
         """Tell the engine its tables are row-sharded over ``mesh``'s
         'model' axis: the full-table refresh switches to the shard_map
@@ -162,6 +204,8 @@ class SMLEngine:
         The epoch/eval functions need no change — their gathers/scatters
         stay efficient under GSPMD."""
         self.mesh = mesh
+        if mesh is not None:
+            self._disable_eval_pallas()
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             self._refresh_impl = functools.partial(
                 transfer_mod.apply_tables_sharded, cfg=self.cfg.transfer,
@@ -508,25 +552,45 @@ class SMLEngine:
                  "last_user_norm", "last_item_norm", "theta_norm")
         return {n: float(v) for n, v in zip(names, vals)}
 
-    def make_eval_set(self, test_rows: np.ndarray) -> PaddedRows:
+    def make_eval_set(self, test_rows: np.ndarray,
+                      build_mask: bool = False) -> PaddedRows:
         """Pad + upload an eval set ONCE; reuse across ``evaluate`` calls.
 
         In-training evals hit the same val set up to
         ``multi_num * (mf_epochs + tr_epochs)`` times per period; re-uploading
         the (rows, 1001) candidate array each time costs ~2 s over the axon
-        tunnel and dominated the eval-faithful sweep (3.4x instead of >5x)."""
+        tunnel and dominated the eval-faithful sweep (3.4x instead of >5x).
+
+        ``build_mask``: also attach the packed negative-membership mask for
+        the masked scoring modes (honored only when the engine's policy
+        wants masks). The mask is device-built from the already-uploaded
+        rows and cached with them — the same test/<p>.npy serves as period
+        t's val and period t+1's now_test, so one build covers both."""
+        build_mask = build_mask and self._want_masks
         key = _content_key(test_rows) if self.cfg.upload_dedup else None
         if key is not None:
             hit = self._upload_cache.get(key)
             if hit is not None:
+                if build_mask and hit.cand_mask is None:
+                    hit = hit._replace(cand_mask=self._build_cand_mask(hit))
+                    self._cache_upload(key, hit)
                 return hit
         padded = pad_rows(test_rows, self.cfg.eval_batch_size,
                           pad_to=self.shape_targets.get("eval", 0))
         if self.placement is not None:
             padded = self.placement.batch(padded)
+        if build_mask:
+            padded = padded._replace(cand_mask=self._build_cand_mask(padded))
         if key is not None:
             self._cache_upload(key, padded)
         return padded
+
+    def _build_cand_mask(self, padded: PaddedRows):
+        """Packed mask over the row's negatives (``rows[:, 2:]``; col 0 is
+        the user, col 1 the target — ``ops/eval_kernel.py`` semantics).
+        Built on device from the already-placed rows, so under a mesh /
+        multihost placement the output inherits the rows' data sharding."""
+        return self._mask_build(padded.rows[:, 2:])
 
     def _cache_upload(self, key, padded: PaddedRows) -> None:
         """Insert into the upload LRU (evicting oldest; dict preserves
@@ -549,7 +613,8 @@ class SMLEngine:
         in one transfer."""
         padded = (test_rows if isinstance(test_rows, PaddedRows)
                   else self.make_eval_set(test_rows))
-        return self._eval(mf, padded.rows, padded.mask), max(padded.n_real, 1)
+        return (self._eval(mf, padded.rows, padded.mask, padded.cand_mask),
+                max(padded.n_real, 1))
 
     def resolve_evals(self, deferred):
         """Materialize a list of ``evaluate_deferred`` results with one
@@ -581,7 +646,8 @@ class SMLEngine:
             from sml_tpu.eval.evaluator import make_attributed_eval_fn
             self._eval_attr = jax.jit(make_attributed_eval_fn(
                 self.cfg.topk, self.cfg.eval_batch_size,
-                scoring=self.cfg.eval_scoring))
+                scoring=self.cfg.eval_scoring,
+                use_pallas=self._eval_pallas))
         padded = (test_rows if isinstance(test_rows, PaddedRows)
                   else self.make_eval_set(test_rows))
         if self.placement is not None:
@@ -590,7 +656,7 @@ class SMLEngine:
             is_new_user = self.placement.replicated(np.asarray(is_new_user))
             is_new_item = self.placement.replicated(np.asarray(is_new_item))
         return (self._eval_attr(mf, padded.rows, padded.mask,
-                                is_new_user, is_new_item),
+                                is_new_user, is_new_item, padded.cand_mask),
                 max(padded.n_real, 1))
 
     def resolve_attributed(self, deferred):
