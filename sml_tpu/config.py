@@ -192,8 +192,9 @@ class SMLConfig:
     # per-row embedding gather (MF.py:50-57); 'matmul' streams the item
     # table through the MXU and picks candidate columns — same ranks up to
     # f32 reduction order; '*_bf16' halve table traffic again; 'auto'
-    # picks by shape at trace time. 'gather' keeps the reference's exact
-    # scoring order. 'masked'/'masked_bf16' stream scores through the MXU
+    # picks masked when the eval set carries a mask, else gather (the
+    # fastest maskless mode on hardware). 'gather' keeps the reference's
+    # exact scoring order. 'masked'/'masked_bf16' stream scores through the MXU
     # against a packed candidate-membership mask (zero indexed reads per
     # eval; ops/eval_kernel.py); 'auto' uses them for eval sets the
     # protocol re-evaluates (val under in-training evals) where the

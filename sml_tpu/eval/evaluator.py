@@ -23,9 +23,10 @@ Scoring modes (``scoring=``):
 ``matmul_bf16``  same data movement with bf16 tables (cast once per eval,
                  outside the scan) and f32 accumulation — halves the hot
                  traffic again; metric drift stays at bf16-input tolerance.
-``auto``         ``matmul`` when the score matrix is cheaper to stream than
-                 the candidate rows (items ≤ 48·C), else ``gather``. Shapes
-                 are static under jit, so the choice is made at trace time.
+``auto``         ``masked`` when a candidate mask is supplied, else
+                 ``gather`` (measured fastest maskless mode on hardware —
+                 the matmul pick is index-issue-bound). Decided at trace
+                 time; shapes and mask presence are static under jit.
 ``masked``/
 ``masked_bf16``  zero indexed reads in steady state: scores stream through
                  the MXU tile-by-tile and are compared against the target
@@ -59,11 +60,14 @@ def _resolve_mode(scoring: str, n_items: int, n_cand: int,
     if scoring == "auto":
         if has_mask:
             return "masked"
-        # streaming the (B, I) score matrix costs I·4 bytes/row; gathering
-        # candidate rows costs C·4·d bytes/row (d=64 ⇒ 256 B each, served
-        # at single-digit % of HBM peak). 48·C keeps a safety margin for
-        # the score-pick pass re-reading hot score rows.
-        return "matmul" if n_items <= 48 * n_cand else "gather"
+        # Maskless, 'gather' wins at every shape measured on the real
+        # chip: the matmul mode's candidate column pick is index-ISSUE
+        # bound (~68k picks/ms, scripts/eval_probe.py 'score_pick') and
+        # costs more than the row gathers it replaces — measured 84k vs
+        # 238k rows/s at items=20k (masked_eval_check). The round-4
+        # shape heuristic (items <= 48*C -> matmul) timed the dot, not
+        # the pick, and was wrong on hardware.
+        return "gather"
     if scoring not in SCORING_MODES:
         raise ValueError(f"unknown eval scoring mode: {scoring!r}")
     if scoring.startswith("masked") and not has_mask:

@@ -55,7 +55,8 @@ def test_all_modes_identical_on_integer_tables(items):
 
 
 def test_auto_threshold_is_shape_driven():
-    assert _resolve_mode("auto", 1000, 100, has_mask=False) == "matmul"
+    # maskless auto is always gather (matmul's pick loses on hardware)
+    assert _resolve_mode("auto", 1000, 100, has_mask=False) == "gather"
     assert _resolve_mode("auto", 10**6, 100, has_mask=False) == "gather"
     # a shipped mask wins regardless of shape; masked w/o mask degrades
     assert _resolve_mode("auto", 10**6, 100, has_mask=True) == "masked"
