@@ -78,6 +78,7 @@ def cmd_sml(args) -> int:
         emb_init_scale=args.emb_init_scale,
         eval_during_inner=args.eval_during_inner,
         eval_during_outer=args.eval_during_outer,
+        eval_scoring=args.eval_scoring,
         theta_warmstart_steps=args.theta_warmstart,
         saddle_retries=args.saddle_retries,
         snapshot_dtype=args.snapshot_dtype,
@@ -385,6 +386,16 @@ def main(argv=None) -> int:
                          "compilations, marginally less padding)")
     ps.add_argument("--eval-during-inner", action="store_true")
     ps.add_argument("--eval-during-outer", action="store_true")
+    ps.add_argument("--eval-scoring", default="auto",
+                    choices=["auto", "gather", "matmul", "gather_bf16",
+                             "matmul_bf16", "masked", "masked_bf16"],
+                    help="candidate scoring mode (eval/evaluator.py): "
+                         "'gather' is the reference's exact per-row "
+                         "embedding gather; 'masked*' stream scores "
+                         "through the MXU against a packed per-eval-set "
+                         "candidate mask (fused Pallas kernel on TPU, "
+                         "zero indexed reads); 'auto' (default) picks "
+                         "masked for re-evaluated sets, gather otherwise")
     ps.add_argument("--saddle-retries", type=int, default=2,
                     help="retry the first online-train period (at most N "
                          "times, re-rolled theta/stream pair) when the "
