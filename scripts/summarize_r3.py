@@ -22,7 +22,8 @@ import os
 import statistics
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
 
 
 def load(path):
@@ -83,6 +84,25 @@ def main():
     args = ap.parse_args()
     d = load(args.root)
     da = load(args.adressa)
+    # The r1 reference full sweeps (torch seeds 2000 and 7) were recorded
+    # under the r1 root before the r2/r3 campaign root existed; same
+    # deterministic dataset+pretrain protocol, same aggregation. Fold them
+    # in so the "reference full sweeps" group is the full n=8 denominator
+    # BASELINE.md quotes, not the r2-root subset.
+    r1 = os.path.join(REPO_DIR, "yelp_scale_r1.json")
+    if os.path.exists(r1):
+        with open(r1) as fh:
+            r1d = json.load(fh)
+        tn = next((v.get("test_num") for v in r1d.values()
+                   if isinstance(v, dict) and v.get("test_num")), None)
+        for src, dst in (("reference", "reference_seed2000_r1"),
+                         ("reference_seed7", "reference_seed7_r1")):
+            if src in r1d and dst not in d:
+                rec = dict(r1d[src])
+                # ADVICE r3: borrow test_num from a sibling (same dataset)
+                # instead of dropping the record from the weighted table
+                rec.setdefault("test_num", tn)
+                d[dst] = rec
     doc = {}
 
     print("== 1. Yelp-scale seed distributions (mean per-period r@20 | "
