@@ -172,6 +172,20 @@ class SMLConfig:
     # states are observed (in-training evals; branch-C phase 0).
     fuse_phases: bool = True
 
+    # Fuse a period's whole phase alternation into ONE dispatch: lax.scan
+    # over the phase body (the per-phase data is identical across a
+    # period's phases — only the RNG stream advances), with the
+    # in-training val evals computed INSIDE the scanned program on the
+    # same intermediate states the unfused path observes (their summed
+    # hit/NDCG accumulators come back stacked and are expanded into the
+    # identical per-epoch log records). Cuts the faithful (evals-on)
+    # protocol from ~6 dispatches per phase x multi_num phases to one
+    # dispatch per period. Bypassed when the host must observe per-phase
+    # state mid-period: the period-0 saddle guard, log_norms diagnostics,
+    # and branch-C phase 0 (which stays unfused for test ordering;
+    # phases 1..multi_num-1 fuse).
+    fuse_period: bool = True
+
     # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
     # on its compute_performance path (transfer.py:738-741), which is active
     # for the default TR_sample_type='alone' + val given. Keep on by default.

@@ -24,6 +24,7 @@ import numpy as np
 
 from sml_tpu.config import DataSpec, SMLConfig
 from sml_tpu.data.feeder import PeriodFeeder, StageData
+from sml_tpu.ops.batching import PaddedRows
 from sml_tpu.ops.metrics import weighted_period_average
 from sml_tpu.train.engine import SMLEngine, SMLState
 from sml_tpu.utils.logging import MetricsLogger
@@ -200,6 +201,31 @@ class SMLDriver:
                 and not (val is not None and (self.cfg.eval_during_inner
                                               or self.cfg.eval_during_outer)))
 
+    def _can_fuse_period(self, prep_tt) -> bool:
+        """One-dispatch PERIODS (``SMLEngine.period_step``) when nothing
+        on the host needs per-phase state mid-period: the saddle guard
+        and ``log_norms`` read per-phase losses/norms (``_track_losses``),
+        and the fused program needs both streams. In-training evals do
+        NOT block this path — they are computed inside the fused program
+        on the same intermediate states and expanded into identical log
+        records afterwards."""
+        return (self.cfg.fuse_phases and self.cfg.fuse_period
+                and not self._track_losses and prep_tt is not None)
+
+    def _fused_period(self, state: SMLState, prep_t, prep_tt, val,
+                      n_phases: int) -> SMLState:
+        """Run ``n_phases`` phases in one dispatch; defer any in-fused
+        eval sums as ONE stacked pending entry (expanded by
+        ``_flush_evals`` into the per-epoch records the unfused path
+        logs, in the same order)."""
+        ev = val if isinstance(val, PaddedRows) else None
+        state, evals = self.engine.period_step(state, prep_t, prep_tt,
+                                               n_phases, ev)
+        if evals:
+            self._pending_evals.append(
+                ("__stacked__", 0, (evals, max(ev.n_real, 1))))
+        return state
+
     def _one_phase(self, state: SMLState, prep_t, prep_tt, val) -> SMLState:
         """One SML phase: inner epochs -> hat snapshot -> refresh -> outer
         epochs (``transfer.py:772-791`` loop body). Fused into a single
@@ -281,13 +307,22 @@ class SMLDriver:
             return
         if not force:
             sums, _ = self._pending_evals[-1][2]
-            leaf = next(iter(sums.values()))[0]
+            import jax
+            leaf = jax.tree.leaves(sums)[0]
             if hasattr(leaf, "is_ready") and not leaf.is_ready():
                 return
         pending, self._pending_evals = self._pending_evals, []
-        metrics = self.engine.resolve_evals([d for _, _, d in pending])
-        for (kind, epoch, _), m in zip(pending, metrics):
-            self.logger.log(kind=kind, epoch=epoch, **_flatten(m))
+        metrics = self.engine.resolve_evals(
+            [d for kind, _, d in pending if kind != "__stacked__"])
+        it = iter(metrics)
+        for kind, epoch, d in pending:
+            if kind == "__stacked__":
+                # a fused period's in-program evals: expand to the exact
+                # per-epoch records the unfused path logs, same order
+                for k2, e2, m2 in self.engine.resolve_stacked_evals(*d):
+                    self.logger.log(kind=k2, epoch=e2, **_flatten(m2))
+            else:
+                self.logger.log(kind=kind, epoch=epoch, **_flatten(next(it)))
 
     def _drain_tests(self) -> None:
         """Resolve the deferred per-period test evals (in period order) into
@@ -384,32 +419,37 @@ class SMLDriver:
             # branch A: warm-up (transfer.py:772-792), with the optional
             # first-period saddle guard (SMLConfig.saddle_retries)
             budget = self.cfg.saddle_retries if d_time == 0 else 0
-            state0 = _copy_state(state) if budget > 0 else None
-            attempt = 0
-            while True:
-                state, stalled = self._warmup_phases(
-                    state, prep_t, prep_tt, sd.val, d_time,
-                    guard=attempt < budget)
-                if not stalled:
-                    break
-                attempt += 1
-                self.report.saddle_retries_used += 1
-                self._flush_evals()   # the aborted attempt's eval rows
-                # the LAST retry escalates: θ-identity warm-start the
-                # re-rolled init (SMLConfig.saddle_escalate_warmstart) so
-                # the final attempt cannot start pinned at the saddle
-                escalate = (attempt == budget
-                            and self.cfg.saddle_escalate_warmstart)
-                self.logger.log(kind="saddle_retry", d_time=d_time,
-                                attempt=attempt, mode=self.cfg.saddle_mode,
-                                escalated=escalate,
-                                outer_loss=self._last_outer_loss)
-                # re-roll the (θ-init, stream) PAIR: the stall belongs to
-                # the pair, and for some θ draws every stream stalls
-                state = self.engine.reinit_theta(
-                    _copy_state(state0)._replace(
-                        key=_fold_key(state0.key, attempt)),
-                    salt=attempt, warmstart=escalate)
+            if budget == 0 and self._can_fuse_period(prep_tt):
+                state = self._fused_period(state, prep_t, prep_tt,
+                                           sd.val, self.cfg.multi_num)
+            else:
+                state0 = _copy_state(state) if budget > 0 else None
+                attempt = 0
+                while True:
+                    state, stalled = self._warmup_phases(
+                        state, prep_t, prep_tt, sd.val, d_time,
+                        guard=attempt < budget)
+                    if not stalled:
+                        break
+                    attempt += 1
+                    self.report.saddle_retries_used += 1
+                    self._flush_evals()   # the aborted attempt's eval rows
+                    # the LAST retry escalates: θ-identity warm-start the
+                    # re-rolled init (SMLConfig.saddle_escalate_warmstart)
+                    # so the final attempt cannot start pinned at the saddle
+                    escalate = (attempt == budget
+                                and self.cfg.saddle_escalate_warmstart)
+                    self.logger.log(kind="saddle_retry", d_time=d_time,
+                                    attempt=attempt,
+                                    mode=self.cfg.saddle_mode,
+                                    escalated=escalate,
+                                    outer_loss=self._last_outer_loss)
+                    # re-roll the (θ-init, stream) PAIR: the stall belongs
+                    # to the pair, and for some θ draws every stream stalls
+                    state = self.engine.reinit_theta(
+                        _copy_state(state0)._replace(
+                            key=_fold_key(state0.key, attempt)),
+                        salt=attempt, warmstart=escalate)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)
@@ -423,17 +463,21 @@ class SMLDriver:
             # branch C: test + keep training Θ (transfer.py:826-881).
             # Phase 0 stays unfused: the test must score the post-refresh
             # tables BEFORE the outer epochs re-refresh them.
-            for phase in range(self.cfg.multi_num):
-                if phase == 0:
-                    state = self._inner_block(state, prep_t,
-                                              self.cfg.mf_epochs, sd.val)
-                    state = self.engine.snapshot_hat(state)
-                    state = self.engine.refresh(state)
-                    self._record_test(state, sd.now_test, d_time)
-                    state = self._outer_block(state, prep_tt, sd.val)
-                else:
+            state = self._inner_block(state, prep_t,
+                                      self.cfg.mf_epochs, sd.val)
+            state = self.engine.snapshot_hat(state)
+            state = self.engine.refresh(state)
+            self._record_test(state, sd.now_test, d_time)
+            state = self._outer_block(state, prep_tt, sd.val)
+            self._log_phase(state, d_time, 0)
+            rest = self.cfg.multi_num - 1
+            if rest > 0 and self._can_fuse_period(prep_tt):
+                state = self._fused_period(state, prep_t, prep_tt,
+                                           sd.val, rest)
+            else:
+                for phase in range(1, self.cfg.multi_num):
                     state = self._one_phase(state, prep_t, prep_tt, sd.val)
-                self._log_phase(state, d_time, phase)
+                    self._log_phase(state, d_time, phase)
             state = self.engine.refresh(state)
 
         self._flush_evals(force=False)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import lax
 
 from sml_tpu.config import SMLConfig
 from sml_tpu.eval.evaluator import make_eval_fn
@@ -86,9 +87,12 @@ class SMLEngine:
         # mesh / multihost placement the pure-XLA masked path shards
         # cleanly through GSPMD; a pallas_call would not partition)
         self._eval_pallas = jax.default_backend() == "tpu"
-        self._eval = jax.jit(make_eval_fn(cfg.topk, cfg.eval_batch_size,
-                                          scoring=cfg.eval_scoring,
-                                          use_pallas=self._eval_pallas))
+        # raw eval fn kept alongside its jit: the fused period/phase
+        # programs inline it so in-training evals run inside one dispatch
+        self._eval_fn = make_eval_fn(cfg.topk, cfg.eval_batch_size,
+                                     scoring=cfg.eval_scoring,
+                                     use_pallas=self._eval_pallas)
+        self._eval = jax.jit(self._eval_fn)
         self._eval_attr = None   # lazily-jitted attributed evaluator
         # Build packed candidate masks (ops/eval_kernel.py) for eval sets
         # the protocol re-evaluates (val during in-training evals): the
@@ -108,6 +112,9 @@ class SMLEngine:
         # one-dispatch SML phase (inner epochs -> hat -> refresh -> outer
         # epochs); built lazily because set_mesh can swap the refresh impl
         self._phase = None
+        # one-dispatch WHOLE period (lax.scan of the phase body), keyed by
+        # phase count (branch A runs multi_num, branch C multi_num - 1)
+        self._period: Dict[int, object] = {}
         # row-sharded tables: set_mesh() swaps in the shard_map refresh
         # (keeps every row local; the plain blocked path all-gathers)
         self.mesh = None
@@ -191,11 +198,13 @@ class SMLEngine:
         if not self._eval_pallas:
             return
         self._eval_pallas = False
-        self._eval = jax.jit(make_eval_fn(self.cfg.topk,
-                                          self.cfg.eval_batch_size,
-                                          scoring=self.cfg.eval_scoring,
-                                          use_pallas=False))
+        self._eval_fn = make_eval_fn(self.cfg.topk,
+                                     self.cfg.eval_batch_size,
+                                     scoring=self.cfg.eval_scoring,
+                                     use_pallas=False)
+        self._eval = jax.jit(self._eval_fn)
         self._eval_attr = None
+        self._period = {}   # rebuilt: the fused programs inline _eval_fn
 
     def set_mesh(self, mesh) -> None:
         """Tell the engine its tables are row-sharded over ``mesh``'s
@@ -212,6 +221,7 @@ class SMLEngine:
                 mesh=mesh)
             self._refresh = jax.jit(self._refresh_impl)
             self._phase = None   # rebuild with the shard_map refresh
+            self._period = {}
 
     def init_state_sharded(self, mesh, pretrained_mf: Optional[MFParams]
                            = None, skip_theta_warmstart: bool = False
@@ -471,36 +481,44 @@ class SMLEngine:
             jnp.int32(padded.n_real), k, index)
         return state._replace(theta=theta, tr_opt=opt), losses
 
-    def _build_phase(self):
-        """Compile ONE device program for a whole SML phase:
-        ``mf_epochs`` inner epochs -> hat snapshot -> refresh ->
-        ``tr_epochs`` outer epochs (with the per-epoch refresh and the
-        ``load_w_hat`` restore when configured).
+    def _make_phase_ops(self):
+        """The traced op sequence for ONE SML phase: ``mf_epochs`` inner
+        epochs -> hat snapshot -> refresh -> ``tr_epochs`` outer epochs
+        (with the per-epoch refresh and the ``load_w_hat`` restore when
+        configured). Same op sequence and key-stream as the
+        epoch-at-a-time path (``key, k = split(key)`` exactly where
+        ``_next_key`` would), so trajectories match; the last inner/outer
+        per-batch loss vectors come back for the saddle guard /
+        ``log_norms`` without extra dispatches.
 
-        The unfused path dispatches ~5 device calls per phase; over the
-        remote-TPU tunnel each dispatch costs a host round-trip, and a
-        Yelp-scale warm-up period runs ``multi_num`` = 10 phases. Same op
-        sequence and key-stream as the epoch-at-a-time path (``key, k =
-        split(key)`` exactly where ``_next_key`` would), so trajectories
-        match; the last inner/outer per-batch loss vectors come back for
-        the saddle guard / ``log_norms`` without extra dispatches."""
+        ``ev``: None, or ``(rows, mask, cand_mask)`` of an uploaded eval
+        set — then the in-training val evals run INSIDE the phase on the
+        same intermediate states the unfused driver observes
+        (post-inner-epoch mf; post-outer-epoch refreshed mf), and their
+        {K: (hit, ndcg)} sums come back stacked over epochs. The
+        None/non-None branch resolves at trace time (jit retraces per
+        pytree structure)."""
         cfg = self.cfg
         inner = make_inner_epoch(cfg, self.mf_tx)
         outer = make_outer_epoch(cfg, self.tr_tx)
         refresh = self._refresh_impl
+        eval_fn = self._eval_fn
         sdt = jnp.dtype(cfg.snapshot_dtype)
 
-        def phase(state: SMLState, rows_t, mask_t, n_real_t, index_t,
-                  rows_tt, mask_tt, n_real_tt, index_tt):
+        def phase_ops(state: SMLState, rows_t, mask_t, n_real_t, index_t,
+                      rows_tt, mask_tt, n_real_tt, index_tt, ev):
             mf, theta = state.mf, state.theta
             mf_opt, tr_opt, key = state.mf_opt, state.tr_opt, state.key
             last_u, last_i = state.last_user, state.last_item
             inner_losses = outer_losses = jnp.zeros((0,), jnp.float32)
+            inner_evals, outer_evals = [], []
             for _ in range(cfg.mf_epochs):
                 key, k = jax.random.split(key)
                 mf, mf_opt, inner_losses = inner(
                     mf, mf_opt, theta, last_u, last_i,
                     rows_t, mask_t, n_real_t, k, index_t)
+                if ev is not None and cfg.eval_during_inner:
+                    inner_evals.append(eval_fn(mf, *ev))
             hat_u = mf.user_emb.astype(sdt)
             hat_i = mf.item_emb.astype(sdt)
 
@@ -518,15 +536,32 @@ class SMLEngine:
                     rows_tt, mask_tt, n_real_tt, k, index_tt)
                 if cfg.refresh_after_outer_epoch:
                     mf = refreshed(mf, theta)
+                    if ev is not None and cfg.eval_during_outer:
+                        outer_evals.append(eval_fn(mf, *ev))
             if cfg.load_w_hat:
                 dt = mf.user_emb.dtype
                 mf = with_tables(mf, hat_u.astype(dt), hat_i.astype(dt))
             state = state._replace(mf=mf, theta=theta, mf_opt=mf_opt,
                                    tr_opt=tr_opt, key=key,
                                    hat_user=hat_u, hat_item=hat_i)
-            return state, inner_losses, outer_losses
+            evals = {}
+            if inner_evals:
+                evals["inner"] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *inner_evals)
+            if outer_evals:
+                evals["outer"] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *outer_evals)
+            return state, inner_losses, outer_losses, evals
 
-        return jax.jit(phase, donate_argnums=(0,))
+        return phase_ops
+
+    def _build_phase(self):
+        """Compile ONE device program for a whole SML phase (see
+        :meth:`_make_phase_ops`). The unfused path dispatches ~5 device
+        calls per phase; over the remote-TPU tunnel each dispatch costs a
+        host round-trip, and a Yelp-scale warm-up period runs
+        ``multi_num`` = 10 phases."""
+        return jax.jit(self._make_phase_ops(), donate_argnums=(0,))
 
     def phase_step(self, state: SMLState, prep_t, prep_tt):
         """One fused SML phase (see :meth:`_build_phase`); returns
@@ -534,9 +569,91 @@ class SMLEngine:
         if self._phase is None:
             self._phase = self._build_phase()
         (pt, it), (ptt, itt) = prep_t, prep_tt
-        return self._phase(state, pt.rows, pt.mask, jnp.int32(pt.n_real),
-                           it, ptt.rows, ptt.mask, jnp.int32(ptt.n_real),
-                           itt)
+        state, il, ol, _ = self._phase(
+            state, pt.rows, pt.mask, jnp.int32(pt.n_real), it,
+            ptt.rows, ptt.mask, jnp.int32(ptt.n_real), itt, None)
+        return state, il, ol
+
+    def _build_period(self, n_phases: int):
+        """Compile a period's WHOLE phase alternation into one device
+        program: ``lax.scan`` of the phase body over ``n_phases``. The
+        per-phase training data is identical across a period's phases
+        (the driver builds ``prep_inner``/``prep_outer`` once per period)
+        — only the carried state and its RNG stream advance, so the scan
+        needs no stacked inputs. With ``ev`` the in-training evals run
+        inside the scan and come back with a leading (n_phases,) dim."""
+        phase_ops = self._make_phase_ops()
+
+        def period(state: SMLState, rows_t, mask_t, n_real_t, index_t,
+                   rows_tt, mask_tt, n_real_tt, index_tt, ev):
+            def body(st, _):
+                st, il, ol, evals = phase_ops(
+                    st, rows_t, mask_t, n_real_t, index_t,
+                    rows_tt, mask_tt, n_real_tt, index_tt, ev)
+                return st, (il, ol, evals)
+
+            state, (ils, ols, evals) = lax.scan(
+                body, state, None, length=n_phases)
+            return state, ils, ols, evals
+
+        return jax.jit(period, donate_argnums=(0,))
+
+    def period_step(self, state: SMLState, prep_t, prep_tt,
+                    n_phases: int, val=None):
+        """``n_phases`` fused SML phases in ONE dispatch (see
+        :meth:`_build_period`); returns ``(state, evals)`` where ``evals``
+        is {} or the stacked in-training eval sums ({"inner"/"outer":
+        {K: (hit, ndcg)}} with leading dims (n_phases, epochs)) — expand
+        them with :meth:`resolve_stacked_evals`.
+
+        ``val``: an uploaded eval set (``make_eval_set`` result) when the
+        protocol's in-training evals are on; its per-epoch observations
+        happen inside the fused program on the same intermediate states
+        the unfused path sees."""
+        fn = self._period.get(n_phases)
+        if fn is None:
+            fn = self._period[n_phases] = self._build_period(n_phases)
+        ev = None
+        if val is not None and (self.cfg.eval_during_inner
+                                or self.cfg.eval_during_outer):
+            ev = (val.rows, val.mask, val.cand_mask)
+        (pt, it), (ptt, itt) = prep_t, prep_tt
+        state, _, _, evals = fn(
+            state, pt.rows, pt.mask, jnp.int32(pt.n_real), it,
+            ptt.rows, ptt.mask, jnp.int32(ptt.n_real), itt, ev)
+        return state, evals
+
+    def resolve_stacked_evals(self, evals, n: int):
+        """Expand a ``period_step`` (or single fused phase) eval bundle
+        into the exact per-epoch records the unfused path logs, in its
+        dispatch order (per phase: inner epochs, then outer epochs).
+        One host fetch for the whole bundle."""
+        if self.placement is not None:
+            fetched = jax.tree.map(self.placement.fetch, evals)
+        else:
+            fetched = jax.device_get(evals)
+        # leading dims: (n_phases, epochs) from period_step, or (epochs,)
+        # from a single fused phase
+        def norm(section):
+            return {k: (np.atleast_2d(h), np.atleast_2d(nd))
+                    for k, (h, nd) in section.items()}
+        sections = [(kind, norm(fetched[key]))
+                    for kind, key in (("inner_eval", "inner"),
+                                      ("outer_eval", "outer"))
+                    if key in fetched]
+        if not sections:
+            return []
+        n_phases = next(iter(sections[0][1].values()))[0].shape[0]
+        out = []
+        for p in range(n_phases):
+            for kind, sec in sections:
+                epochs = next(iter(sec.values()))[0].shape[1]
+                for e in range(epochs):
+                    out.append((kind, e,
+                                {k: {"recall": float(h[p, e]) / n,
+                                     "ndcg": float(nd[p, e]) / n}
+                                 for k, (h, nd) in sec.items()}))
+        return out
 
     def diagnostics(self, state: SMLState) -> Dict[str, float]:
         """Weight-scale scalars (reference ``need_writer``,

@@ -58,7 +58,11 @@ def test_driver_logs_match_sync_spy(synthetic_dataset, tmp_path):
     eval synchronously at dispatch time and the flushed jsonl rows must
     reproduce those values exactly, in order."""
     dspec, info, spec = synthetic_dataset
-    cfg = _cfg(eval_during_inner=True, eval_during_outer=True)
+    # fuse_period=False: this test pins the per-dispatch deferral
+    # machinery; fused periods compute their evals inside one device
+    # program instead (pinned against this path in test_fused_period.py)
+    cfg = _cfg(eval_during_inner=True, eval_during_outer=True,
+               fuse_period=False)
     engine = SMLEngine(cfg, info.n_users, info.n_items)
     log_path = tmp_path / "evals.jsonl"
     driver = SMLDriver(cfg, dspec, engine=engine,
