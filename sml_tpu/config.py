@@ -88,6 +88,15 @@ class TransferConfig:
     # / 'gru' / 'gated' mirror the unused alternatives (transfer.py:94-291).
     kind: str = "conv_com"
 
+    # Run the fused refresh kernel's two FC matmuls with bf16 inputs and
+    # f32 accumulation (the conv mixes and activations stay f32). The
+    # kernel is MXU-compute-bound at f32 rate (roofline_r4.json:refresh);
+    # bf16 inputs double the matmul issue rate at ~1e-2-relative output
+    # differences — opt in for production tables, keep OFF for
+    # reference-parity runs. TPU Pallas path only (the XLA fallback and
+    # the per-batch train-step transfers always compute f32).
+    refresh_matmul_bf16: bool = False
+
 
 @dataclass(frozen=True)
 class SMLConfig:
