@@ -88,14 +88,13 @@ class TransferConfig:
     # / 'gru' / 'gated' mirror the unused alternatives (transfer.py:94-291).
     kind: str = "conv_com"
 
-    # Run the fused refresh kernel's two FC matmuls with bf16 inputs and
-    # f32 accumulation (the conv mixes and activations stay f32). The
-    # kernel is MXU-compute-bound at f32 rate (roofline_r4.json:refresh);
-    # bf16 inputs double the matmul issue rate at ~1e-2-relative output
-    # differences — opt in for production tables, keep OFF for
-    # reference-parity runs. TPU Pallas path only (the XLA fallback and
-    # the per-batch train-step transfers always compute f32).
-    refresh_matmul_bf16: bool = False
+    # NOTE (round-4 measurement, /tmp/refresh_bf16_probe.json): forcing
+    # the refresh kernel's FC matmuls to bf16 inputs is a strict no-op on
+    # TPU — outputs bit-identical, 37.2 vs 37.4 ms at 2.1M rows — because
+    # the default TPU matmul precision already feeds the MXU bf16 inputs
+    # for f32 operands. The kernel's 11-12.5%-of-bf16-peak is therefore
+    # not matmul-precision-bound (per-row cost is flat 131k->2.1M rows);
+    # no knob is exposed.
 
 
 @dataclass(frozen=True)

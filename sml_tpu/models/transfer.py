@@ -341,12 +341,9 @@ def apply_tables(theta: TransferParams, cfg: TransferConfig,
     if cfg.kind == "conv_com" and use_pallas != "never":
         from sml_tpu.ops import transfer_kernel
         if use_pallas == "always" or transfer_kernel.pallas_available():
-            bf16 = cfg.refresh_matmul_bf16
             return (
-                transfer_kernel.fused_table_transfer(
-                    theta.user, last_user, hat_user, matmul_bf16=bf16),
-                transfer_kernel.fused_table_transfer(
-                    theta.item, last_item, hat_item, matmul_bf16=bf16),
+                transfer_kernel.fused_table_transfer(theta.user, last_user, hat_user),
+                transfer_kernel.fused_table_transfer(theta.item, last_item, hat_item),
             )
 
     def blocked(side, last, hat):

@@ -45,7 +45,7 @@ def pallas_available() -> bool:
 
 def _kernel(last_ref, hat_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, out_ref,
-            *, c1: int, c2: int, mm_bf16: bool):
+            *, c1: int, c2: int):
     # snapshots may be stored bf16 (SMLConfig.snapshot_dtype): upcast in
     # VMEM so all math (incl. the x_com norm) runs f32; HBM still only
     # streams the narrow inputs
@@ -74,23 +74,19 @@ def _kernel(last_ref, hat_ref, w1_ref, b1_ref, w2_ref, b2_ref,
           for e in range(c2)]
     flat = jnp.concatenate(h2, axis=-1)     # (R, C2*d), index c*d+j ✓
 
-    # the FC dots are the kernel's MXU bound (roofline_r4.json:refresh):
-    # optional bf16 inputs double the issue rate; accumulation stays f32
-    mmdt = jnp.bfloat16 if mm_bf16 else jnp.float32
-    h3 = gelu(jnp.dot(flat.astype(mmdt), fc1w_ref[:].astype(mmdt),
+    # NOTE: forcing bf16 inputs here was measured a strict no-op (bit-
+    # identical output, same ms): TPU default matmul precision already
+    # feeds the MXU bf16 inputs for f32 operands (r4 refresh_bf16 probe)
+    h3 = gelu(jnp.dot(flat, fc1w_ref[:],
                       preferred_element_type=jnp.float32) + fc1b_ref[:])
-    out_ref[:] = jnp.dot(h3.astype(mmdt), fc2w_ref[:].astype(mmdt),
+    out_ref[:] = jnp.dot(h3, fc2w_ref[:],
                          preferred_element_type=jnp.float32) + fc2b_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "matmul_bf16"))
+@functools.partial(jax.jit, static_argnames=("block_rows",))
 def fused_table_transfer(tower: ConvTower, last: jax.Array, hat: jax.Array,
-                         block_rows: int = 1024,
-                         matmul_bf16: bool = False) -> jax.Array:
-    """Θ_side(last, hat) over all N rows. Shapes (N, d) -> (N, d).
-
-    ``matmul_bf16``: run the two FC dots with bf16 inputs / f32
-    accumulation (``TransferConfig.refresh_matmul_bf16``)."""
+                         block_rows: int = 1024) -> jax.Array:
+    """Θ_side(last, hat) over all N rows. Shapes (N, d) -> (N, d)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -114,7 +110,7 @@ def fused_table_transfer(tower: ConvTower, last: jax.Array, hat: jax.Array,
 
     flops_per_row = 2 * (c2 * d * h + h * d) + 40 * d
     out = pl.pallas_call(
-        functools.partial(_kernel, c1=c1, c2=c2, mm_bf16=matmul_bf16),
+        functools.partial(_kernel, c1=c1, c2=c2),
         grid=grid,
         in_specs=[row_spec, row_spec,
                   rep((c1, 3)), rep((c1, 1)),

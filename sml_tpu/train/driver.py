@@ -312,14 +312,19 @@ class SMLDriver:
             if hasattr(leaf, "is_ready") and not leaf.is_ready():
                 return
         pending, self._pending_evals = self._pending_evals, []
+        # two batched fetches for the whole backlog (never per-entry: a
+        # blocking fetch of pending compute pays the tunnel's ~1 s
+        # readiness poll each time)
         metrics = self.engine.resolve_evals(
             [d for kind, _, d in pending if kind != "__stacked__"])
-        it = iter(metrics)
+        stacked = self.engine.resolve_stacked_evals(
+            [d for kind, _, d in pending if kind == "__stacked__"])
+        it, it_s = iter(metrics), iter(stacked)
         for kind, epoch, d in pending:
             if kind == "__stacked__":
                 # a fused period's in-program evals: expand to the exact
                 # per-epoch records the unfused path logs, same order
-                for k2, e2, m2 in self.engine.resolve_stacked_evals(*d):
+                for k2, e2, m2 in next(it_s):
                     self.logger.log(kind=k2, epoch=e2, **_flatten(m2))
             else:
                 self.logger.log(kind=kind, epoch=epoch, **_flatten(next(it)))

@@ -623,37 +623,51 @@ class SMLEngine:
             ptt.rows, ptt.mask, jnp.int32(ptt.n_real), itt, ev)
         return state, evals
 
-    def resolve_stacked_evals(self, evals, n: int):
-        """Expand a ``period_step`` (or single fused phase) eval bundle
-        into the exact per-epoch records the unfused path logs, in its
+    def resolve_stacked_evals(self, bundles):
+        """Expand ``period_step`` (or single fused phase) eval bundles
+        into the exact per-epoch records the unfused path logs, in their
         dispatch order (per phase: inner epochs, then outer epochs).
-        One host fetch for the whole bundle."""
+
+        ``bundles``: list of ``(evals, n)``; returns one record list per
+        bundle. ONE host fetch covers every bundle — over the remote
+        tunnel a blocking fetch of pending compute pays a ~1 s readiness
+        poll, so fetching a sweep's worth of bundles one-by-one at
+        finalize serializes ~n_periods polls (measured: tens of seconds
+        of pure polling on the fused-period warm block)."""
+        if not bundles:
+            return []
+        trees = [evals for evals, _ in bundles]
         if self.placement is not None:
-            fetched = jax.tree.map(self.placement.fetch, evals)
+            fetched_trees = [jax.tree.map(self.placement.fetch, t)
+                             for t in trees]
         else:
-            fetched = jax.device_get(evals)
+            fetched_trees = jax.device_get(trees)
+
         # leading dims: (n_phases, epochs) from period_step, or (epochs,)
         # from a single fused phase
         def norm(section):
             return {k: (np.atleast_2d(h), np.atleast_2d(nd))
                     for k, (h, nd) in section.items()}
-        sections = [(kind, norm(fetched[key]))
-                    for kind, key in (("inner_eval", "inner"),
-                                      ("outer_eval", "outer"))
-                    if key in fetched]
-        if not sections:
-            return []
-        n_phases = next(iter(sections[0][1].values()))[0].shape[0]
-        out = []
-        for p in range(n_phases):
-            for kind, sec in sections:
-                epochs = next(iter(sec.values()))[0].shape[1]
-                for e in range(epochs):
-                    out.append((kind, e,
-                                {k: {"recall": float(h[p, e]) / n,
-                                     "ndcg": float(nd[p, e]) / n}
-                                 for k, (h, nd) in sec.items()}))
-        return out
+
+        out_all = []
+        for fetched, (_, n) in zip(fetched_trees, bundles):
+            sections = [(kind, norm(fetched[key]))
+                        for kind, key in (("inner_eval", "inner"),
+                                          ("outer_eval", "outer"))
+                        if key in fetched]
+            out = []
+            if sections:
+                n_phases = next(iter(sections[0][1].values()))[0].shape[0]
+                for p in range(n_phases):
+                    for kind, sec in sections:
+                        epochs = next(iter(sec.values()))[0].shape[1]
+                        for e in range(epochs):
+                            out.append((kind, e,
+                                        {k: {"recall": float(h[p, e]) / n,
+                                             "ndcg": float(nd[p, e]) / n}
+                                         for k, (h, nd) in sec.items()}))
+            out_all.append(out)
+        return out_all
 
     def diagnostics(self, state: SMLState) -> Dict[str, float]:
         """Weight-scale scalars (reference ``need_writer``,
