@@ -340,5 +340,33 @@ def main():
     }))
 
 
+def respawn_main(argv, attempts=3, delay=60.0, sleep=time.sleep,
+                 run=None):
+    """Process-level retry around ``main()``.
+
+    ``oom_retry`` handles transient RESOURCE_EXHAUSTED in-process, but an
+    ``ABORTED: TPU backend error`` (observed mid-round-4 during a tunnel
+    stall window) poisons the live jax client — only a fresh process
+    recovers. The parent re-execs itself as a child (stdout inherited, so
+    the ONE JSON line still reaches the driver) until a child exits 0."""
+    import subprocess
+    if run is None:
+        def run(cmd, env):
+            return subprocess.run(cmd, env=env).returncode
+    env = dict(os.environ, SML_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        rc = run([sys.executable] + argv, env)
+        if rc == 0:
+            return 0
+        if attempt < attempts - 1:
+            log(f"bench child attempt {attempt + 1}/{attempts} rc={rc}; "
+                f"respawning in {delay:.0f}s")
+            sleep(delay)
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SML_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(respawn_main([os.path.abspath(__file__)]))

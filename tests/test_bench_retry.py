@@ -83,3 +83,28 @@ def test_preflight_retries_then_succeeds(monkeypatch):
     monkeypatch.setattr(bench, "oom_retry", wrapped)
     bench.preflight()                    # must not raise
     assert real["first"] is False
+
+
+def test_respawn_main_recovers_after_poisoned_client():
+    """An ABORTED backend error poisons the in-process jax client; the
+    parent must re-exec fresh children until one exits cleanly."""
+    rcs = iter([1, 1, 0])
+    cmds, sleeps = [], []
+
+    def fake_run(cmd, env):
+        cmds.append((tuple(cmd), env.get("SML_BENCH_CHILD")))
+        return next(rcs)
+
+    rc = bench.respawn_main(["bench.py"], attempts=3, delay=5.0,
+                            sleep=sleeps.append, run=fake_run)
+    assert rc == 0
+    assert len(cmds) == 3
+    assert all(child == "1" for _, child in cmds)
+    assert sleeps == [5.0, 5.0]
+
+
+def test_respawn_main_gives_up_with_last_rc():
+    rc = bench.respawn_main(["bench.py"], attempts=2, delay=0.0,
+                            sleep=lambda s: None,
+                            run=lambda cmd, env: 7)
+    assert rc == 7
