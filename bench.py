@@ -25,6 +25,9 @@ N_INTER = 500_000
 NEG_COLS = 999          # presampled pool width (reference README.md:25)
 BATCH = 1024
 TIMED_EPOCHS = 3
+TRIAL_SECONDS = 10.0    # target wall per timed scan dispatch
+MIN_CLEAN_TRIALS = 5    # stop once this many trials agree within 10%
+MAX_TRIALS = 10
 
 
 def log(*a):
@@ -133,28 +136,81 @@ def bench_jax(inter, mf_sample, rng):
     log(f"jax[{mf_sample}] warmup (compile + 1 epoch): {time.time() - t0:.1f}s "
         f"loss={warm_loss:.4f} backend={jax.default_backend()}")
 
-    # The device sits behind the axon tunnel, whose throughput stalls for
-    # seconds at random (tunnel_bw_r3.json: ~32 ms dispatch RTT, ~40 MB/s);
-    # a single short timed window swung 1.0M -> 0.13M ex/s between two
-    # back-to-back runs. Measure like the torch side: several >=~10 s
-    # trials, report the median trial.
-    rates = []
-    for trial in range(3):
+    # single-dispatch epoch time (diagnostic; also sizes the scan below)
+    t0 = time.time()
+    state, losses = engine.inner_epoch(state, padded, index)
+    float(losses.sum())
+    epoch_dt = time.time() - t0
+    log(f"jax[{mf_sample}] one dispatched epoch: {epoch_dt:.2f}s "
+        f"({inter.shape[0] / epoch_dt:,.0f} ex/s incl. dispatch RTT)")
+
+    # Device-time protocol (VERDICT r4 "Next" #1). The device sits behind
+    # the axon tunnel, whose throughput stalls for seconds at random
+    # (tunnel_bw_r3.json: ~32 ms dispatch RTT, ~40 MB/s); round 4's scored
+    # capture lost 2.2x to two stalled 10 s trials. Two defenses, same
+    # reasoning as the pinned torch denominator (stalls only ever SLOW the
+    # loop down): (1) run E epochs inside ONE lax.scan dispatch so a trial
+    # exposes a single dispatch + one scalar fetch to the tunnel instead
+    # of ~25; (2) keep trialling (<= MAX_TRIALS) until MIN_CLEAN_TRIALS
+    # agree within 10% of the fastest, then report the median of that
+    # clean set — a contaminated trial is self-evident in the logged raw
+    # list and cannot move the reported value.
+    from sml_tpu.train.steps import make_inner_epoch
+    inner = make_inner_epoch(cfg, engine.mf_tx)
+    n_scan = int(np.clip(round(TRIAL_SECONDS / max(epoch_dt, 1e-3)), 4, 64))
+
+    @jax.jit
+    def scan_epochs(mf, opt, theta, last_u, last_i, rows, mask, n_real,
+                    key, index):
+        def body(c, _):
+            mf, opt, key = c
+            key, k = jax.random.split(key)
+            mf, opt, losses = inner(mf, opt, theta, last_u, last_i,
+                                    rows, mask, n_real, k, index)
+            return (mf, opt, key), losses.sum()
+        (mf, opt, key), s = jax.lax.scan(body, (mf, opt, key), None,
+                                         length=n_scan)
+        return mf, opt, key, s.sum()
+
+    def one_trial(st):
         t0 = time.time()
-        epochs = 0
-        while time.time() - t0 < 10.0:
-            state, losses = engine.inner_epoch(state, padded, index)
-            float(losses.sum())
-            epochs += 1
-        dt = time.time() - t0
-        rates.append(epochs * inter.shape[0] / dt)
-        log(f"jax[{mf_sample}] trial {trial}: {epochs} epochs x "
+        mf, opt, key, s = scan_epochs(
+            st.mf, st.mf_opt, st.theta, st.last_user, st.last_item,
+            padded.rows, padded.mask, jnp.int32(padded.n_real), st.key,
+            index)
+        float(s)                               # force completion
+        return st._replace(mf=mf, mf_opt=opt, key=key), time.time() - t0
+
+    t0 = time.time()
+    state, _ = one_trial(state)                # compile the scan program
+    log(f"jax[{mf_sample}] scan({n_scan} epochs) compile+run: "
+        f"{time.time() - t0:.1f}s")
+
+    rates = []
+    for trial in range(MAX_TRIALS):
+        state, dt = one_trial(state)
+        rates.append(n_scan * inter.shape[0] / dt)
+        log(f"jax[{mf_sample}] trial {trial}: {n_scan} epochs x "
             f"{inter.shape[0]} examples in {dt:.2f}s "
             f"-> {rates[-1]:,.0f} ex/s")
-    ex_per_s = float(np.median(rates))
-    spread = (max(rates) - min(rates)) / ex_per_s if ex_per_s else float("nan")
-    log(f"jax[{mf_sample}]: median {ex_per_s:,.0f} ex/s over 3 trials "
-        f"(spread {spread:.1%})")
+        clean = [r for r in rates if r >= 0.9 * max(rates)]
+        if len(clean) >= MIN_CLEAN_TRIALS:
+            break
+    clean = sorted(r for r in rates if r >= 0.9 * max(rates))
+    if len(clean) < MIN_CLEAN_TRIALS:
+        log(f"jax[{mf_sample}] WARNING: only {len(clean)}/{len(rates)} "
+            f"trials within 10% of max — tunnel badly stalled; value uses "
+            f"the clean subset")
+    ex_per_s = float(np.median(clean))
+    spread = (clean[-1] - clean[0]) / ex_per_s if ex_per_s else float("nan")
+    log(f"jax[{mf_sample}]: {ex_per_s:,.0f} ex/s = median of "
+        f"{len(clean)} clean trials (clean spread {spread:.1%}; raw "
+        f"trials {[f'{r:,.0f}' for r in rates]})")
+    bench_jax.last_stats = {
+        "trials_ex_per_s": [round(r, 1) for r in rates],
+        "clean_trials": len(clean), "clean_spread": round(spread, 4),
+        "scan_epochs_per_trial": n_scan,
+    }
 
     # secondary: fused full-table transfer refresh
     t0 = time.time()
@@ -318,6 +374,7 @@ def main():
     # Retried on RESOURCE_EXHAUSTED: this is the round's scored artifact and
     # must be capturable even if a straggler lane still holds HBM.
     ours = oom_retry(lambda: bench_jax(inter, "all", rng), "jax[all]")
+    stats = getattr(bench_jax, "last_stats", {})
     # secondary: on-device Bloom rejection sampling ('alone' mode) —
     # diagnostic only, never allowed to sink the headline JSON line
     try:
@@ -337,6 +394,7 @@ def main():
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        **stats,
     }))
 
 
@@ -369,4 +427,4 @@ if __name__ == "__main__":
     if os.environ.get("SML_BENCH_CHILD"):
         main()
     else:
-        sys.exit(respawn_main([os.path.abspath(__file__)]))
+        sys.exit(respawn_main([os.path.abspath(__file__)] + sys.argv[1:]))

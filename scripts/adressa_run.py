@@ -182,6 +182,52 @@ def phase_reference(args):
     })
 
 
+def phase_ref_baselines(args):
+    """Reference full/fine/spmf (imported from /root/reference, CPU) at the
+    news protocol on the SAME dataset + shared pretrain (VERDICT r4 "Next"
+    #6): completes the both-frameworks SML>full>SPMF~fine ordering table at
+    the news shape. Protocol matched to phase_baselines: epochs=20,
+    batch 256, lr 0.01, l2 1e-5, pool_init_type=1 (the reference's
+    news-protocol early stop, ``baseline.py:294-295,374-375``), start 48.
+    Aggregation: the baselines keep the final period (``baseline.py:546``)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "pvr", os.path.join(REPO, "scripts", "parity_vs_reference.py"))
+    pvr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pvr)
+    pvr.set_protocol(n_periods=N_PERIODS, train_start=TRAIN_START,
+                     test_start=TEST_START, neg=NEG, multi=MULTI,
+                     latent=LATENT, mf_epochs=EPOCHS, tr_epochs=EPOCHS)
+    params = load_pre(args.root)
+    method = args.method
+    assert method in ("full", "fine", "spmf"), method
+    t0 = time.time()
+    ref = pvr.run_reference_baseline(
+        args.root, params, method, seed=args.seed, epochs=BASE_EPOCHS,
+        pool=args.pool if method == "spmf" else 0, dataset_name="news",
+        numworkers=0, pool_init_type=1, ckpt_path=args.ckpt)
+    total = ref.pop("train_seconds_banked", None) or (time.time() - t0)
+    from sml_tpu.ops.metrics import weighted_period_average
+    summary = {}
+    n = ref["test_num"]
+    for k in (5, 10, 20):
+        for name in ("recall", "ndcg"):
+            val, test = weighted_period_average(
+                ref[f"{name}@{k}"], n, drop_last_test=False)
+            summary[f"val_{name}@{k}"] = round(float(val), 5)
+            summary[f"test_{name}@{k}"] = round(float(test), 5)
+    log(f"reference news {method}: {summary}")
+    record(args.root, args.key or f"ref_baseline_{method}", {
+        "seed": args.seed, "method": method, "epochs": BASE_EPOCHS,
+        "pool": args.pool if method == "spmf" else 0,
+        "pool_init_type": 1,
+        "total_seconds": round(total, 1),
+        "summary": summary,
+        "per_period_recall@20": [round(v, 4) for v in ref["recall@20"]],
+        "test_num": ref["test_num"],
+    })
+
+
 def _weighted_summary(ref):
     """The reference's val/test split + test-count weighting
     (``transfer.py:991-1025``), via the SAME shared helper every 'ours'
@@ -203,7 +249,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
                     choices=["gen", "pretrain", "sml", "baselines",
-                             "reference"])
+                             "reference", "ref-baselines"])
+    ap.add_argument("--method", default="full",
+                    help="ref-baselines: full | fine | spmf")
     ap.add_argument("--root", required=True)
     ap.add_argument("--users", type=int, default=12_000)
     ap.add_argument("--items", type=int, default=8_000)
@@ -228,7 +276,8 @@ def main():
     os.makedirs(args.root, exist_ok=True)
     {"gen": phase_gen, "pretrain": phase_pretrain,
      "sml": phase_sml, "baselines": phase_baselines,
-     "reference": phase_reference}[args.phase](args)
+     "reference": phase_reference,
+     "ref-baselines": phase_ref_baselines}[args.phase](args)
 
 
 if __name__ == "__main__":

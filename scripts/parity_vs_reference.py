@@ -148,11 +148,70 @@ def _load_reference_baseline():
     return mod
 
 
+def _ref_base_ckpt_save(path, model, stage_id, elapsed, fingerprint):
+    """Atomic per-stage snapshot of a running reference BASELINE sweep
+    (same rationale as ``_ref_ckpt_save``: the reference driver has no
+    checkpointing, and a news-protocol full-retrain lane is hours of
+    single-core CPU). Captures everything ``SPMF.run_one_stage*`` mutates
+    across stages — MF state, optimizer, metric lists, the reservoir, the
+    seen-item set, and all RNG streams (numworkers=0 lanes sample from the
+    global np.random stream)."""
+    import random
+    import torch
+
+    blob = {
+        "fingerprint": fingerprint,
+        "stage_id": stage_id,
+        "elapsed": elapsed,
+        "mfbase": model.MFbase.state_dict(),
+        "opt": model.optimizer.state_dict(),
+        "metrics": {
+            k: list(getattr(model, k))
+            for k in ("recall", "ndcg", "test_num",
+                      "hit_new_user", "hit_new_item")},
+        "reservoir": model.Reservious.__dict__.copy(),
+        "all_item": np.asarray(model.all_item),
+        "run_stage": getattr(model, "run_stage", 0),
+        "rng": {"torch": torch.get_rng_state(),
+                "numpy": np.random.get_state(),
+                "python": random.getstate()},
+    }
+    tmp = path + ".tmp"
+    torch.save(blob, tmp)
+    os.replace(tmp, path)
+
+
+def _ref_base_ckpt_load(path, model, fingerprint):
+    import random
+    import torch
+
+    blob = torch.load(path, weights_only=False)
+    assert blob["fingerprint"] == fingerprint, (
+        f"checkpoint protocol mismatch: {blob['fingerprint']} != {fingerprint}")
+    model.MFbase.load_state_dict(blob["mfbase"])
+    model.optimizer.load_state_dict(blob["opt"])
+    for k, v in blob["metrics"].items():
+        setattr(model, k, v)
+    model.Reservious.__dict__.update(blob["reservoir"])
+    model.all_item = blob["all_item"]
+    model.run_stage = blob["run_stage"]
+    torch.set_rng_state(blob["rng"]["torch"])
+    np.random.set_state(blob["rng"]["numpy"])
+    random.setstate(blob["rng"]["python"])
+    return blob["stage_id"], blob["elapsed"]
+
+
 def run_reference_baseline(root, params, method, seed=2000, epochs=None,
                            pool=None, batch_size=256, dataset_name="synth",
-                           numworkers=4):
+                           numworkers=4, pool_init_type=0, ckpt_path=None):
     """Reference ``SPMF`` baselines driver (``model/baseline.py:102-556``)
-    on CPU against the shared dataset + pretrained tables."""
+    on CPU against the shared dataset + pretrained tables.
+
+    ``pool_init_type=1`` enables the reference's news-protocol early stop
+    (``baseline.py:294-295``, ``:374-375``) — pass it for Adressa-shape
+    lanes so both frameworks run the same stopping rule. The stage loop
+    reproduces ``SPMF.run`` (``baseline.py:505-556``) inline so it can
+    checkpoint per stage via ``ckpt_path``."""
     import torch
 
     _setup_reference_import()
@@ -167,7 +226,7 @@ def run_reference_baseline(root, params, method, seed=2000, epochs=None,
         batch_size=batch_size,
         laten_dim=LATENT, neg_num=1,
         pool_size=BASE_POOL if pool is None else pool, laten=LATENT,
-        method=method, pool_init_type=0)
+        method=method, pool_init_type=pool_init_type)
 
     datasets = ref_baseline.StreamingData(root + f"/{dataset_name}/")
     model = ref_baseline.SPMF(args, datasets, datasets.user_num,
@@ -175,6 +234,10 @@ def run_reference_baseline(root, params, method, seed=2000, epochs=None,
     model.MFbase = _shared_pretrained_mfbase(params)
     model.optimizer = torch.optim.Adam(model.MFbase.parameters(),
                                        lr=args.lr, weight_decay=0)
+
+    fingerprint = (f"base:{dataset_name}:{method}:{seed}:{args.epochs}:"
+                   f"{args.pool_size}:{pool_init_type}:{batch_size}:"
+                   f"{TEST_START}")
 
     # DataLoader workers: the reference hardcodes 4 (baseline.py:326); the
     # toy parity harness keeps that, but single-core measurement lanes pass
@@ -187,14 +250,45 @@ def run_reference_baseline(root, params, method, seed=2000, epochs=None,
             k["num_workers"] = numworkers
         return _orig_dl(*a, **k)
 
+    stage_id, elapsed = TEST_START, 0.0
+    resumed = False
+    if ckpt_path and os.path.exists(ckpt_path):
+        stage_id, elapsed = _ref_base_ckpt_load(ckpt_path, model, fingerprint)
+        stage_id += 1
+        resumed = True
+        print(f"[ref-baseline] resumed {method} at stage {stage_id} "
+              f"({elapsed:.0f}s banked)", file=sys.stderr, flush=True)
+
     sink = io.StringIO()
     try:
         if numworkers != 4:
             _tud.DataLoader = _dl
         with contextlib.redirect_stdout(sink):
-            if method == "spmf":
+            if method == "spmf" and not resumed:
                 model.base_train_not_train(TEST_START - 1)
-            model.run(TEST_START, method)
+            # inline SPMF.run (baseline.py:505-520): per-stage dispatch,
+            # stop when the stream ends; summary math lives in the caller
+            model.run_stage = getattr(model, "run_stage", 0)
+            while True:
+                t0 = time.time()
+                if method == "spmf":
+                    run_flag = model.run_one_stage(stage_id)
+                elif method == "full":
+                    run_flag = model.run_one_stage2(
+                        stage_id, read_data_type="not_only_new")
+                else:
+                    run_flag = model.run_one_stage2(
+                        stage_id, read_data_type="only_new")
+                if not run_flag:
+                    break
+                elapsed += time.time() - t0
+                model.run_stage += 1
+                if ckpt_path:
+                    _ref_base_ckpt_save(ckpt_path, model, stage_id,
+                                        elapsed, fingerprint)
+                print(f"[ref-baseline] {method} stage {stage_id} done "
+                      f"({elapsed:.0f}s)", file=sys.stderr, flush=True)
+                stage_id += 1
     finally:
         _tud.DataLoader = _orig_dl
 
@@ -206,6 +300,7 @@ def run_reference_baseline(root, params, method, seed=2000, epochs=None,
         "ndcg@5": ndc[:, 0].tolist(), "ndcg@10": ndc[:, 1].tolist(),
         "ndcg@20": ndc[:, 2].tolist(),
         "test_num": [int(v) for v in model.test_num],
+        "train_seconds_banked": elapsed,
     }
 
 
