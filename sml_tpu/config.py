@@ -188,11 +188,21 @@ class SMLConfig:
     # hit/NDCG accumulators come back stacked and are expanded into the
     # identical per-epoch log records). Cuts the faithful (evals-on)
     # protocol from ~6 dispatches per phase x multi_num phases to one
-    # dispatch per period. Bypassed when the host must observe per-phase
-    # state mid-period: the period-0 saddle guard, log_norms diagnostics,
-    # and branch-C phase 0 (which stays unfused for test ordering;
-    # phases 1..multi_num-1 fuse).
-    fuse_period: bool = True
+    # dispatch per period. Diagnostics ride the fused program too: the
+    # period-0 saddle guard replays its rule on the returned outer-loss
+    # stack and log_norms reads per-phase norms the program stacks —
+    # only branch-C phase 0 stays unfused (test-ordering). One static-
+    # length program (lax.cond-masked tail) serves every n_phases.
+    #
+    # "auto" (default): fuse only once this config's period program has
+    # been compiled before on this host (SMLEngine.fused_program_warm) —
+    # its first-ever compile is ~13 min over the remote-TPU tunnel vs
+    # ~112 s for a whole unfused cold sweep, so cold runs go unfused and
+    # anything that explicitly compiles the program (fuse_period=True,
+    # a perf lane, dryrun_multichip) unlocks the fused path for every
+    # later sweep at warm-cache cost. True forces fusing (and pays the
+    # one-time compile); False disables.
+    fuse_period: bool | str = "auto"
 
     # After each outer epoch the reference refreshes MFbase <- Θ(last, hat)
     # on its compute_performance path (transfer.py:738-741), which is active

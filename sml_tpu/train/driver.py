@@ -202,29 +202,74 @@ class SMLDriver:
                                               or self.cfg.eval_during_outer)))
 
     def _can_fuse_period(self, prep_tt) -> bool:
-        """One-dispatch PERIODS (``SMLEngine.period_step``) when nothing
-        on the host needs per-phase state mid-period: the saddle guard
-        and ``log_norms`` read per-phase losses/norms (``_track_losses``),
-        and the fused program needs both streams. In-training evals do
-        NOT block this path — they are computed inside the fused program
-        on the same intermediate states and expanded into identical log
-        records afterwards."""
-        return (self.cfg.fuse_phases and self.cfg.fuse_period
-                and not self._track_losses and prep_tt is not None)
+        """One-dispatch PERIODS (``SMLEngine.period_step``). Neither
+        in-training evals nor diagnostics block this path (VERDICT r4
+        "Next" #8): evals are computed inside the fused program on the
+        same intermediate states and expanded into identical log records;
+        the saddle guard and ``log_norms`` read the per-phase loss stacks
+        and weight norms the program returns. ``fuse_period='auto'``
+        fuses only once this config's period program has been compiled on
+        this host (first-ever compile ~13 min over the remote tunnel vs
+        ~112 s for a whole unfused cold sweep)."""
+        fuse = self.cfg.fuse_period
+        if isinstance(fuse, str):            # "auto": cache-aware
+            fuse = self.engine.fused_program_warm()
+        return bool(self.cfg.fuse_phases and fuse and prep_tt is not None)
 
     def _fused_period(self, state: SMLState, prep_t, prep_tt, val,
-                      n_phases: int) -> SMLState:
+                      n_phases: int, d_time: int = 0, start_phase: int = 0,
+                      guard: bool = False):
         """Run ``n_phases`` phases in one dispatch; defer any in-fused
         eval sums as ONE stacked pending entry (expanded by
         ``_flush_evals`` into the per-epoch records the unfused path
-        logs, in the same order)."""
+        logs, in the same order). Returns ``(state, stalled)``.
+
+        Diagnostics ride the fused program (VERDICT r4 "Next" #8): with
+        ``log_norms`` the program stacks per-phase weight norms, and
+        per-phase mean losses come from the loss stacks it already
+        returns. ``guard`` replays the saddle rule on the returned
+        outer-loss stack — the decisions match the unfused guard (which
+        also only acts after a phase completes); an aborted attempt's
+        phase/eval rows are sliced to the phases the unfused path would
+        have run before aborting."""
+        from sml_tpu.train.engine import DIAG_NAMES
         ev = val if isinstance(val, PaddedRows) else None
-        state, evals = self.engine.period_step(state, prep_t, prep_tt,
-                                               n_phases, ev)
+        want_diag = self.cfg.log_norms
+        state, evals, (ils, ols), diags = self.engine.period_step(
+            state, prep_t, prep_tt, n_phases, ev, want_diag)
+        stalled, keep = False, n_phases
+        if guard or self._track_losses:
+            ils, ols, diags = self.engine.fetch_host((ils, ols, diags))
+            inner_mean = [_mean_loss(ils[p], prep_t[0].n_real,
+                                     self.cfg.mf_batch_size)
+                          for p in range(n_phases)]
+            outer_mean = [_mean_loss(ols[p], prep_tt[0].n_real,
+                                     self.cfg.tr_batch_size)
+                          for p in range(n_phases)]
+            if guard:
+                check_phase, stalled_at = self._saddle_rule()
+                for phase in dict.fromkeys(
+                        (check_phase, self.cfg.multi_num - 1)):
+                    if stalled_at(phase, outer_mean[phase]):
+                        stalled, keep = True, phase + 1
+                        break
+            self._last_inner_loss = inner_mean[keep - 1]
+            self._last_outer_loss = outer_mean[keep - 1]
+            if self.cfg.log_norms:
+                for p in range(keep):
+                    self.logger.log(
+                        kind="phase", d_time=d_time, phase=start_phase + p,
+                        inner_loss=inner_mean[p], outer_loss=outer_mean[p],
+                        **{nm: float(diags[i][p])
+                           for i, nm in enumerate(DIAG_NAMES)},
+                        **self.engine.sampler_stats)
         if evals:
+            # period_step only returns eval sums when it was given an
+            # uploaded eval set (ADVICE r4: make the contract explicit)
+            assert ev is not None
             self._pending_evals.append(
-                ("__stacked__", 0, (evals, max(ev.n_real, 1))))
-        return state
+                ("__stacked__", 0, (evals, max(ev.n_real, 1), keep)))
+        return state, stalled
 
     def _one_phase(self, state: SMLState, prep_t, prep_tt, val) -> SMLState:
         """One SML phase: inner epochs -> hat snapshot -> refresh -> outer
@@ -243,14 +288,9 @@ class SMLDriver:
         state = self.engine.refresh(state)
         return self._outer_block(state, prep_tt, val)
 
-    def _warmup_phases(self, state: SMLState, prep_t, prep_tt,
-                       val, d_time: int, guard: bool):
-        """Branch-A phase alternation. With ``guard``, abort after
-        ``saddle_check_phase`` if the outer loss is still within
-        ``saddle_frac`` of the zero-score BCE saddle (2 ln 2) — the
-        bad-stream signature that predicts a permanently depressed run
-        (scripts/period0_probe.py calibration: good streams are ≤0.85 of
-        the saddle by phase 3, stalled ones ≥0.92)."""
+    def _saddle_rule(self):
+        """``(check_phase, stalled_at)`` for the period-0 guard — ONE rule
+        shared by the fused and unfused warm-up paths."""
         saddle = 2.0 * float(np.log(2.0))
         multi = self.cfg.multi_num
         if self.cfg.saddle_mode == "auto":
@@ -275,7 +315,18 @@ class SMLDriver:
                 # check_phase == multi-1 under a tiny multi_num)
                 return ((phase == check_phase and loss > thresh)
                         or (phase == multi - 1 and loss > final_thresh))
+        return check_phase, stalled_at
 
+    def _warmup_phases(self, state: SMLState, prep_t, prep_tt,
+                       val, d_time: int, guard: bool):
+        """Branch-A phase alternation. With ``guard``, abort after
+        ``saddle_check_phase`` if the outer loss is still within
+        ``saddle_frac`` of the zero-score BCE saddle (2 ln 2) — the
+        bad-stream signature that predicts a permanently depressed run
+        (scripts/period0_probe.py calibration: good streams are ≤0.85 of
+        the saddle by phase 3, stalled ones ≥0.92)."""
+        multi = self.cfg.multi_num
+        check_phase, stalled_at = self._saddle_rule()
         for phase in range(multi):
             state = self._one_phase(state, prep_t, prep_tt, val)
             self._log_phase(state, d_time, phase)
@@ -306,7 +357,7 @@ class SMLDriver:
         if not self._pending_evals:
             return
         if not force:
-            sums, _ = self._pending_evals[-1][2]
+            sums = self._pending_evals[-1][2][0]
             import jax
             leaf = jax.tree.leaves(sums)[0]
             if hasattr(leaf, "is_ready") and not leaf.is_ready():
@@ -422,39 +473,44 @@ class SMLDriver:
 
         if sd.now_test is None:
             # branch A: warm-up (transfer.py:772-792), with the optional
-            # first-period saddle guard (SMLConfig.saddle_retries)
+            # first-period saddle guard (SMLConfig.saddle_retries) — the
+            # guard rides the fused program too (one attempt = one
+            # dispatch; the rule replays on the returned loss stack)
             budget = self.cfg.saddle_retries if d_time == 0 else 0
-            if budget == 0 and self._can_fuse_period(prep_tt):
-                state = self._fused_period(state, prep_t, prep_tt,
-                                           sd.val, self.cfg.multi_num)
-            else:
-                state0 = _copy_state(state) if budget > 0 else None
-                attempt = 0
-                while True:
+            fused = self._can_fuse_period(prep_tt)
+            state0 = _copy_state(state) if budget > 0 else None
+            attempt = 0
+            while True:
+                if fused:
+                    state, stalled = self._fused_period(
+                        state, prep_t, prep_tt, sd.val,
+                        self.cfg.multi_num, d_time,
+                        guard=attempt < budget)
+                else:
                     state, stalled = self._warmup_phases(
                         state, prep_t, prep_tt, sd.val, d_time,
                         guard=attempt < budget)
-                    if not stalled:
-                        break
-                    attempt += 1
-                    self.report.saddle_retries_used += 1
-                    self._flush_evals()   # the aborted attempt's eval rows
-                    # the LAST retry escalates: θ-identity warm-start the
-                    # re-rolled init (SMLConfig.saddle_escalate_warmstart)
-                    # so the final attempt cannot start pinned at the saddle
-                    escalate = (attempt == budget
-                                and self.cfg.saddle_escalate_warmstart)
-                    self.logger.log(kind="saddle_retry", d_time=d_time,
-                                    attempt=attempt,
-                                    mode=self.cfg.saddle_mode,
-                                    escalated=escalate,
-                                    outer_loss=self._last_outer_loss)
-                    # re-roll the (θ-init, stream) PAIR: the stall belongs
-                    # to the pair, and for some θ draws every stream stalls
-                    state = self.engine.reinit_theta(
-                        _copy_state(state0)._replace(
-                            key=_fold_key(state0.key, attempt)),
-                        salt=attempt, warmstart=escalate)
+                if not stalled:
+                    break
+                attempt += 1
+                self.report.saddle_retries_used += 1
+                self._flush_evals()   # the aborted attempt's eval rows
+                # the LAST retry escalates: θ-identity warm-start the
+                # re-rolled init (SMLConfig.saddle_escalate_warmstart)
+                # so the final attempt cannot start pinned at the saddle
+                escalate = (attempt == budget
+                            and self.cfg.saddle_escalate_warmstart)
+                self.logger.log(kind="saddle_retry", d_time=d_time,
+                                attempt=attempt,
+                                mode=self.cfg.saddle_mode,
+                                escalated=escalate,
+                                outer_loss=self._last_outer_loss)
+                # re-roll the (θ-init, stream) PAIR: the stall belongs
+                # to the pair, and for some θ draws every stream stalls
+                state = self.engine.reinit_theta(
+                    _copy_state(state0)._replace(
+                        key=_fold_key(state0.key, attempt)),
+                    salt=attempt, warmstart=escalate)
             state = self.engine.refresh(state)
         elif sd.set_tt is None:
             # branch B: tr_stop during the test span (transfer.py:793-825)
@@ -477,8 +533,9 @@ class SMLDriver:
             self._log_phase(state, d_time, 0)
             rest = self.cfg.multi_num - 1
             if rest > 0 and self._can_fuse_period(prep_tt):
-                state = self._fused_period(state, prep_t, prep_tt,
-                                           sd.val, rest)
+                state, _ = self._fused_period(state, prep_t, prep_tt,
+                                              sd.val, rest, d_time,
+                                              start_phase=1)
             else:
                 for phase in range(1, self.cfg.multi_num):
                     state = self._one_phase(state, prep_t, prep_tt, sd.val)

@@ -8,6 +8,7 @@ evaluator for a fixed config, and owns the host-side data preparation
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -44,6 +45,10 @@ class SMLState(NamedTuple):
     mf_opt: object
     tr_opt: object
     key: jax.Array
+
+
+DIAG_NAMES = ("user_norm", "item_norm", "hat_user_norm", "hat_item_norm",
+              "last_user_norm", "last_item_norm", "theta_norm")
 
 
 @jax.jit
@@ -574,61 +579,143 @@ class SMLEngine:
             ptt.rows, ptt.mask, jnp.int32(ptt.n_real), itt, None)
         return state, il, ol
 
-    def _build_period(self, n_phases: int):
+    def _build_period(self, length: int, want_diag: bool = False):
         """Compile a period's WHOLE phase alternation into one device
-        program: ``lax.scan`` of the phase body over ``n_phases``. The
+        program: ``lax.scan`` of the phase body over ``length`` slots. The
         per-phase training data is identical across a period's phases
         (the driver builds ``prep_inner``/``prep_outer`` once per period)
         — only the carried state and its RNG stream advance, so the scan
         needs no stacked inputs. With ``ev`` the in-training evals run
-        inside the scan and come back with a leading (n_phases,) dim."""
+        inside the scan and come back with a leading (length,) dim.
+
+        ``n_phases`` is a runtime OPERAND: slots >= n_phases are a
+        ``lax.cond`` identity (state and key untouched, zero outputs), so
+        ONE compiled program serves both the branch-A period (multi_num
+        phases) and the branch-C tail (multi_num - 1) — previously two
+        separate ~13 min cold compiles (VERDICT r4 "Next" #4). The RNG
+        key only splits inside real phases, so trajectories are unchanged.
+
+        ``want_diag``: additionally stack the 7 per-phase weight-norm
+        scalars (:func:`_diagnostics_jit`) read from each phase-end state,
+        so ``log_norms`` runs no longer force the unfused path."""
         phase_ops = self._make_phase_ops()
 
-        def period(state: SMLState, rows_t, mask_t, n_real_t, index_t,
-                   rows_tt, mask_tt, n_real_tt, index_tt, ev):
-            def body(st, _):
+        def period(state: SMLState, n_phases, rows_t, mask_t, n_real_t,
+                   index_t, rows_tt, mask_tt, n_real_tt, index_tt, ev):
+            def run_phase(st):
                 st, il, ol, evals = phase_ops(
                     st, rows_t, mask_t, n_real_t, index_t,
                     rows_tt, mask_tt, n_real_tt, index_tt, ev)
-                return st, (il, ol, evals)
+                diag = (_diagnostics_jit(
+                    st.mf.user_emb, st.mf.item_emb, st.hat_user,
+                    st.hat_item, st.last_user, st.last_item, st.theta)
+                    if want_diag else ())
+                return st, (il, ol, evals, diag)
 
-            state, (ils, ols, evals) = lax.scan(
-                body, state, None, length=n_phases)
-            return state, ils, ols, evals
+            ys_aval = jax.eval_shape(lambda s: run_phase(s)[1], state)
+            zeros = jax.tree.map(
+                lambda a: jnp.zeros(a.shape, a.dtype), ys_aval)
+
+            def body(st, i):
+                return lax.cond(i < n_phases, run_phase,
+                                lambda s: (s, zeros), st)
+
+            state, (ils, ols, evals, diags) = lax.scan(
+                body, state, jnp.arange(length))
+            return state, ils, ols, evals, diags
 
         return jax.jit(period, donate_argnums=(0,))
 
     def period_step(self, state: SMLState, prep_t, prep_tt,
-                    n_phases: int, val=None):
+                    n_phases: int, val=None, want_diag: bool = False):
         """``n_phases`` fused SML phases in ONE dispatch (see
-        :meth:`_build_period`); returns ``(state, evals)`` where ``evals``
-        is {} or the stacked in-training eval sums ({"inner"/"outer":
-        {K: (hit, ndcg)}} with leading dims (n_phases, epochs)) — expand
-        them with :meth:`resolve_stacked_evals`.
+        :meth:`_build_period`); returns ``(state, evals, (ils, ols),
+        diags)`` where ``evals`` is {} or the stacked in-training eval
+        sums ({"inner"/"outer": {K: (hit, ndcg)}} with leading dims
+        (length, epochs)) — expand them with :meth:`resolve_stacked_evals`
+        (pass ``keep=n_phases`` when ``n_phases < cfg.multi_num``);
+        ``ils``/``ols`` are the last inner/outer epoch's per-batch loss
+        stacks (length, n_batches); ``diags`` is the per-phase weight-norm
+        tuple (each (length,)) when ``want_diag``, else empty.
 
         ``val``: an uploaded eval set (``make_eval_set`` result) when the
         protocol's in-training evals are on; its per-epoch observations
         happen inside the fused program on the same intermediate states
         the unfused path sees."""
-        fn = self._period.get(n_phases)
+        length = max(self.cfg.multi_num, n_phases)
+        fn = self._period.get((length, want_diag))
         if fn is None:
-            fn = self._period[n_phases] = self._build_period(n_phases)
+            fn = self._period[(length, want_diag)] = \
+                self._build_period(length, want_diag)
         ev = None
         if val is not None and (self.cfg.eval_during_inner
                                 or self.cfg.eval_during_outer):
             ev = (val.rows, val.mask, val.cand_mask)
         (pt, it), (ptt, itt) = prep_t, prep_tt
-        state, _, _, evals = fn(
-            state, pt.rows, pt.mask, jnp.int32(pt.n_real), it,
+        state, ils, ols, evals, diags = fn(
+            state, jnp.int32(n_phases),
+            pt.rows, pt.mask, jnp.int32(pt.n_real), it,
             ptt.rows, ptt.mask, jnp.int32(ptt.n_real), itt, ev)
-        return state, evals
+        self._mark_period_compiled()
+        return state, evals, (ils, ols), diags
+
+    # ------------------------------------------------------------ fused marker
+    def _fused_marker_path(self) -> str:
+        """Marker file recording that this exact fused-period program has
+        been compiled once on this host (and therefore sits in the
+        persistent XLA compile cache). ``fuse_period='auto'`` consults it:
+        the scan program's first-ever compile is ~13 min over the remote
+        TPU tunnel, vs ~112 s for the whole unfused cold sweep — so a
+        fresh revision/config runs unfused until something explicitly
+        compiles the fused program (``fuse_period=True``, a perf lane, or
+        ``dryrun_multichip``), after which every sweep takes the fused
+        path at warm-cache cost (~150 s load, then cached in-process)."""
+        import hashlib
+        cfg = self.cfg
+        key = repr((jax.__version__, jax.default_backend(), cfg.multi_num,
+                    cfg.mf_epochs, cfg.tr_epochs, cfg.mf_batch_size,
+                    cfg.tr_batch_size, cfg.latent_dim, cfg.mf_sample,
+                    cfg.use_bce, cfg.load_w_hat, cfg.eval_during_inner,
+                    cfg.eval_during_outer, cfg.refresh_after_outer_epoch,
+                    str(cfg.snapshot_dtype), self.n_users, self.n_items,
+                    sorted((self.shape_targets or {}).items())))
+        h = hashlib.sha1(key.encode()).hexdigest()[:16]
+        root = os.environ.get("SML_TPU_CACHE_DIR",
+                              os.path.expanduser("~/.cache/sml_tpu"))
+        return os.path.join(root, "fused_markers", f"{h}.marker")
+
+    def _mark_period_compiled(self) -> None:
+        if getattr(self, "_period_marked", False):
+            return
+        self._period_marked = True
+        try:
+            path = self._fused_marker_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as fh:
+                fh.write("1\n")
+        except OSError:
+            pass
+
+    def fused_program_warm(self) -> bool:
+        """True when the fused-period program for this config/shape set has
+        been compiled before on this host (see :meth:`_fused_marker_path`)."""
+        if getattr(self, "_period_marked", False):
+            return True
+        try:
+            return os.path.exists(self._fused_marker_path())
+        except OSError:
+            return False
 
     def resolve_stacked_evals(self, bundles):
         """Expand ``period_step`` (or single fused phase) eval bundles
         into the exact per-epoch records the unfused path logs, in their
         dispatch order (per phase: inner epochs, then outer epochs).
 
-        ``bundles``: list of ``(evals, n)``; returns one record list per
+        ``bundles``: list of ``(evals, n)`` or ``(evals, n, keep)`` —
+        ``keep`` limits expansion to the first ``keep`` phase rows (the
+        static-length period program zero-pads slots past its ``n_phases``
+        operand; a guard-aborted fused attempt keeps only the phases the
+        unfused guard would have run). Returns one record list per
         bundle. ONE host fetch covers every bundle — over the remote
         tunnel a blocking fetch of pending compute pays a ~1 s readiness
         poll, so fetching a sweep's worth of bundles one-by-one at
@@ -636,7 +723,7 @@ class SMLEngine:
         of pure polling on the fused-period warm block)."""
         if not bundles:
             return []
-        trees = [evals for evals, _ in bundles]
+        trees = [b[0] for b in bundles]
         if self.placement is not None:
             fetched_trees = [jax.tree.map(self.placement.fetch, t)
                              for t in trees]
@@ -650,7 +737,9 @@ class SMLEngine:
                     for k, (h, nd) in section.items()}
 
         out_all = []
-        for fetched, (_, n) in zip(fetched_trees, bundles):
+        for fetched, bundle in zip(fetched_trees, bundles):
+            _, n = bundle[0], bundle[1]
+            keep = bundle[2] if len(bundle) > 2 else None
             sections = [(kind, norm(fetched[key]))
                         for kind, key in (("inner_eval", "inner"),
                                           ("outer_eval", "outer"))
@@ -658,6 +747,8 @@ class SMLEngine:
             out = []
             if sections:
                 n_phases = next(iter(sections[0][1].values()))[0].shape[0]
+                if keep is not None:
+                    n_phases = min(n_phases, keep)
                 for p in range(n_phases):
                     for kind, sec in sections:
                         epochs = next(iter(sec.values()))[0].shape[1]
@@ -679,9 +770,14 @@ class SMLEngine:
                                 state.theta)
         if self.placement is not None:
             vals = [self.placement.fetch(v) for v in vals]
-        names = ("user_norm", "item_norm", "hat_user_norm", "hat_item_norm",
-                 "last_user_norm", "last_item_norm", "theta_norm")
-        return {n: float(v) for n, v in zip(names, vals)}
+        return {n: float(v) for n, v in zip(DIAG_NAMES, vals)}
+
+    def fetch_host(self, tree):
+        """Fetch a (possibly sharded) pytree of device arrays to host
+        numpy in one transfer."""
+        if self.placement is not None:
+            return jax.tree.map(self.placement.fetch, tree)
+        return jax.device_get(tree)
 
     def make_eval_set(self, test_rows: np.ndarray,
                       build_mask: bool = False) -> PaddedRows:

@@ -95,10 +95,11 @@ def test_fused_period_matches_per_phase_fused(synthetic_dataset):
         assert rp.per_period[k] == rf.per_period[k]
 
 
-def test_guard_period_stays_per_phase(synthetic_dataset):
-    """With the saddle guard armed, period 0 must take the per-phase path
-    (the guard reads per-phase losses) and later periods fuse — the
-    trajectory still equals the unfused run's."""
+def test_guard_rides_fused_period(synthetic_dataset):
+    """With the saddle guard armed, period 0 fuses too (VERDICT r4 "Next"
+    #8): the guard replays its rule on the outer-loss stack the fused
+    program returns — decisions, retry counts and the kept trajectory all
+    equal the unfused run's."""
     kw = dict(saddle_retries=1)
     sp, rp, _ = _run(synthetic_dataset, fuse_period=True, **kw)
     su, ru, _ = _run(synthetic_dataset, fuse_phases=False,
@@ -106,3 +107,29 @@ def test_guard_period_stays_per_phase(synthetic_dataset):
     for k in (5, 10, 20):
         assert rp.per_period[k] == ru.per_period[k]
     assert rp.saddle_retries_used == ru.saddle_retries_used
+
+
+def test_log_norms_fused_parity(synthetic_dataset):
+    """``log_norms`` diagnostics no longer force the unfused path: the
+    fused program stacks per-phase weight norms and the driver expands
+    them into phase records with the same keys, phases, and (fp32-exact)
+    values as the unfused path logs."""
+    kw = dict(log_norms=True)
+    sp, rp, lp = _run(synthetic_dataset, fuse_period=True, **kw)
+    su, ru, lu = _run(synthetic_dataset, fuse_phases=False,
+                      fuse_period=False, **kw)
+    for k in (5, 10, 20):
+        assert rp.per_period[k] == ru.per_period[k]
+    ph_p = [r for r in lp if r["kind"] == "phase"]
+    ph_u = [r for r in lu if r["kind"] == "phase"]
+    assert len(ph_p) == len(ph_u) > 0
+    for a, b in zip(ph_p, ph_u):
+        assert a.keys() == b.keys()
+        assert (a["d_time"], a["phase"]) == (b["d_time"], b["phase"])
+        for key in a:
+            va, vb = a[key], b[key]
+            if isinstance(va, float):
+                assert va == vb or abs(va - vb) <= 1e-6 * max(
+                    abs(va), abs(vb), 1.0), (key, a, b)
+            else:
+                assert va == vb, (key, a, b)
