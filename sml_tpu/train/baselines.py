@@ -27,6 +27,7 @@ import optax
 
 from sml_tpu.config import BaselineConfig, DataSpec
 from sml_tpu.data.feeder import StreamingPeriods
+from sml_tpu.data.formats import row_count
 from sml_tpu.eval.evaluator import make_attributed_eval_fn, make_eval_fn
 from sml_tpu.models.mf import MFParams, init_mf, score_pairs
 from sml_tpu.ops.batching import pad_rows
@@ -78,17 +79,28 @@ class Reservoir:
         self.t = data.shape[0]
 
 
-def rank_sampling_probs(mf: MFParams, pairs: jax.Array) -> jax.Array:
+def rank_sampling_probs(mf: MFParams, pairs: jax.Array,
+                        valid: Optional[jax.Array] = None,
+                        n_real: Optional[jax.Array] = None) -> jax.Array:
     """SPMF's rank-softmax sampling distribution (``compute_R_W_P``,
     ``baseline.py:448-476``): rank all pool pairs by model score descending,
     weight ``w = exp(rank/N)``, normalize. Higher weight on *worse-ranked*
-    (poorly fit) interactions."""
+    (poorly fit) interactions.
+
+    ``valid``/``n_real``: uniform-shape support — pad rows score ``-inf``
+    (ranked after every real row, so real ranks are unchanged) and get
+    weight zero; ``N`` in ``exp(rank/N)`` is the REAL count."""
     scores = score_pairs(mf, pairs[:, 0], pairs[:, 1])
-    n = scores.shape[0]
+    n_pad = scores.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, -jnp.inf)
+    n = jnp.float32(n_pad) if n_real is None else n_real.astype(jnp.float32)
     order = jnp.argsort(-scores)
-    ranks = jnp.zeros(n, dtype=jnp.float32).at[order].set(
-        jnp.arange(1, n + 1, dtype=jnp.float32))
+    ranks = jnp.zeros(n_pad, dtype=jnp.float32).at[order].set(
+        jnp.arange(1, n_pad + 1, dtype=jnp.float32))
     w = jnp.exp(ranks / n)
+    if valid is not None:
+        w = jnp.where(valid, w, 0.0)
     return w / jnp.sum(w)
 
 
@@ -186,6 +198,19 @@ class BaselineDriver:
         # (baseline.py:237,478-487)
         self._hist_pairs: List[np.ndarray] = []
 
+        # Sweep-wide shape bounds (npy headers only) -> uniform padded
+        # shapes, so every period reuses ONE compiled program per op
+        # instead of recompiling for each period's row count — at Yelp
+        # scale the per-period shape zoo cost full-retrain ~10 remote
+        # compiles of the epoch scan (VERDICT r4 Weak #6). Skipped tail
+        # batches are lax.cond no-ops.
+        self._bounds = self._shape_bounds()
+        # final per-period test metrics resolve in ONE host fetch at run
+        # end (blocking float() per period paid the tunnel's ~1 s
+        # readiness poll each time); early-stop evals still block — their
+        # values feed stopping decisions
+        self._pending: List[tuple] = []
+
         self.recall: List[List[float]] = []
         self.ndcg: List[List[float]] = []
         self.test_counts: List[int] = []
@@ -196,23 +221,62 @@ class BaselineDriver:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def evaluate(self, test_rows: np.ndarray) -> Dict[int, Tuple[float, float]]:
-        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+    def _shape_bounds(self) -> Dict[str, int]:
+        """Sweep-wide max row counts from npy headers: ``train`` covers the
+        largest pool any period trains on (cumulative history for full;
+        one period for fine; reservoir + one period for spmf), ``eval``
+        the largest test set."""
+        spec, info = self.stream.spec, self.stream.info
+        counts = []
+        for p in range(spec.num_periods):
+            c = row_count(spec.path, "train", p)
+            if c is not None:
+                counts.append(c)
+        per_period = max(counts, default=0)
+        if self.cfg.method == "full":
+            train = sum(counts)
+        elif self.cfg.method == "spmf":
+            train = min(self.cfg.pool_size, sum(counts)) + per_period
+        else:
+            train = per_period
+        evals = [row_count(spec.path, "test", p)
+                 for p in range(spec.num_periods)]
+        return {"train": train, "hist": sum(counts),
+                "eval": max((c for c in evals if c is not None), default=0)}
+
+    def _pad_eval(self, test_rows: np.ndarray):
+        """Pad + upload an eval set ONCE per period (sweep-wide shape);
+        early-stop evals and the final metrics reuse the device buffers
+        instead of re-uploading (rows, 1001) ids per eval call."""
+        return pad_rows(test_rows, self.cfg.eval_batch_size,
+                        pad_to=self._bounds["eval"])
+
+    def evaluate(self, test_rows) -> Dict[int, Tuple[float, float]]:
+        padded = (test_rows if hasattr(test_rows, "n_real")
+                  else self._pad_eval(test_rows))
         sums = self._eval(self.mf, padded.rows, padded.mask)
         n = max(padded.n_real, 1)
         return {k: (float(h) / n, float(nd) / n)
                 for k, (h, nd) in sums.items()}
 
-    def evaluate_attributed(self, test_rows: np.ndarray):
+    def evaluate_attributed(self, test_rows, deferred: bool = False):
         """Eval + hit attribution on new users/items, normalized by the test
         count like the reference (``baseline.py:434-443``). Returns None if
-        the dataset ships no new-entity id files."""
+        the dataset ships no new-entity id files. ``deferred``: return the
+        raw device tree + n instead of fetching (resolved at run end)."""
         if self._is_new_user is None or self._is_new_item is None:
             return None
-        padded = pad_rows(test_rows, self.cfg.eval_batch_size)
+        padded = (test_rows if hasattr(test_rows, "n_real")
+                  else self._pad_eval(test_rows))
         out = self._eval_attr(self.mf, padded.rows, padded.mask,
                               self._is_new_user, self._is_new_item)
         n = max(padded.n_real, 1)
+        if deferred:
+            return out, n
+        return self._resolve_attr(jax.device_get(out), n)
+
+    @staticmethod
+    def _resolve_attr(out, n):
         return {
             "base": {k: (float(h) / n, float(nd) / n)
                      for k, (h, nd) in out["base"].items()},
@@ -237,12 +301,18 @@ class BaselineDriver:
         return self.evaluate(test)[k][0]
 
     def _train_offline(self, train_data: np.ndarray,
-                       test: Optional[np.ndarray] = None) -> None:
+                       test=None) -> None:
         """full-retrain / fine-tune epochs (``run_one_stage2``), with the
         reference's early stop: eval recall@20 every 5 epochs, break after
-        >5 epochs without a new best (``baseline.py:366-375``)."""
-        padded = pad_rows(train_data, self.cfg.batch_size)
-        index = build_period_index(train_data, self.stream.info.n_items)
+        >5 epochs without a new best (``baseline.py:366-375``).
+
+        ``test`` may be a pre-uploaded ``PaddedRows`` (one upload per
+        period). Train rows and the sampling index pad to the sweep-wide
+        bound so every period runs the same compiled epoch."""
+        padded = pad_rows(train_data, self.cfg.batch_size,
+                          pad_to=self._bounds["train"])
+        index = build_period_index(train_data, self.stream.info.n_items,
+                                   min_rows=self._bounds["train"])
         best20, not_chang = 0.0, 0
         for epoch in range(self.cfg.epochs):
             self.mf, self.opt, _ = self._epoch(
@@ -258,17 +328,32 @@ class BaselineDriver:
                         break
 
     def _train_spmf(self, pool_data: np.ndarray,
-                    test: Optional[np.ndarray] = None) -> None:
+                    test=None) -> None:
         """SPMF epochs over reservoir ∪ new data with rank-softmax draws.
         Early stop evals every epoch and breaks after 5 without improvement
-        (``baseline.py:285-295``)."""
+        (``baseline.py:285-295``).
+
+        Uniform shapes: the pool pads to the sweep-wide bound by REPEATING
+        its last row with sampling weight zero — real draws are identical
+        (pads rank after every real row and carry w=0; the inverse-CDF
+        boundary case u >= cdf[-1] selects a pad, which IS the last real
+        row, exactly what the unpadded clip picked). The history index
+        floors to the cumulative bound (``min_rows``). ``n_batches`` stays
+        the reference's exact ``round(N/B)`` — it is trajectory semantics."""
         hist = np.concatenate(self._hist_pairs, axis=0)
-        hist_index = build_period_index(hist, self.stream.info.n_items)
-        pairs = jnp.asarray(pool_data[:, :2], dtype=jnp.int32)
-        n_batches = max(1, round(pool_data.shape[0] / self.cfg.batch_size))
+        hist_index = build_period_index(hist, self.stream.info.n_items,
+                                        min_rows=self._bounds["hist"])
+        n_real = pool_data.shape[0]
+        n_pad = -(-max(n_real, self._bounds["train"]) // 1024) * 1024
+        pool_padded = np.concatenate(
+            [pool_data[:, :2],
+             np.repeat(pool_data[-1:, :2], n_pad - n_real, axis=0)], axis=0)
+        pairs = jnp.asarray(pool_padded, dtype=jnp.int32)
+        valid = jnp.arange(n_pad) < n_real
+        n_batches = max(1, round(n_real / self.cfg.batch_size))
         best20, not_chang = 0.0, 0
         for _ in range(self.cfg.epochs):
-            p = self._probs(self.mf, pairs)
+            p = self._probs(self.mf, pairs, valid, jnp.int32(n_real))
             cdf = jnp.cumsum(p)
             self.mf, self.opt, _ = self._spmf_epoch(
                 self.mf, self.opt, pairs, cdf, n_batches=n_batches,
@@ -302,38 +387,63 @@ class BaselineDriver:
             return False
         t0 = time.time()
         self.test_counts.append(int(test.shape[0]))
+        padded_test = self._pad_eval(test)   # ONE upload serves every eval
 
         if method == "spmf":
             self._hist_pairs.append(train)
             pool = (np.concatenate(
                 [self.reservoir.pool[:self.reservoir.pool_have], train], axis=0)
                 if self.reservoir.pool_have > 0 else train)
-            self._train_spmf(pool, test)
+            self._train_spmf(pool, padded_test)
             self.reservoir.update(train)
         else:
-            self._train_offline(train, test)
+            self._train_offline(train, padded_test)
 
-        attributed = self.evaluate_attributed(test)
-        extra = {}
-        if attributed is not None:
-            metrics = attributed["base"]
-            kx = max(self.cfg.topk)
-            self.hit_new_user.append(
-                [attributed["hit_new_user"][k] for k in self.cfg.topk])
-            self.hit_new_item.append(
-                [attributed["hit_new_item"][k] for k in self.cfg.topk])
-            extra = {f"hit_new_user@{kx}": attributed["hit_new_user"][kx],
-                     f"hit_new_item@{kx}": attributed["hit_new_item"][kx]}
+        # dispatch the period's final metrics WITHOUT fetching; resolved in
+        # one transfer at run end (finalize) — a blocking fetch of pending
+        # compute pays the tunnel's ~1 s readiness poll per period
+        attr = self.evaluate_attributed(padded_test, deferred=True)
+        if attr is not None:
+            self._pending.append(("attr", method, period, attr[0], attr[1],
+                                  time.time() - t0))
         else:
-            metrics = self.evaluate(test)
-        self.recall.append([metrics[k][0] for k in self.cfg.topk])
-        self.ndcg.append([metrics[k][1] for k in self.cfg.topk])
-        self.logger.log(kind="baseline_test", method=method, period=period,
-                        seconds=time.time() - t0,
-                        **{f"recall@{k}": metrics[k][0] for k in self.cfg.topk},
-                        **{f"ndcg@{k}": metrics[k][1] for k in self.cfg.topk},
-                        **extra)
+            sums = self._eval(self.mf, padded_test.rows, padded_test.mask)
+            self._pending.append(("base", method, period, sums,
+                                  max(padded_test.n_real, 1),
+                                  time.time() - t0))
         return True
+
+    def finalize(self) -> None:
+        """Resolve the deferred per-period metrics (one host fetch) into
+        ``recall``/``ndcg``/attribution lists and the jsonl, in period
+        order. Idempotent; called by :meth:`run`."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        fetched = jax.device_get([p[3] for p in pending])
+        for (kind, method, period, _, n, secs), out in zip(pending, fetched):
+            extra = {}
+            if kind == "attr":
+                attributed = self._resolve_attr(out, n)
+                metrics = attributed["base"]
+                kx = max(self.cfg.topk)
+                self.hit_new_user.append(
+                    [attributed["hit_new_user"][k] for k in self.cfg.topk])
+                self.hit_new_item.append(
+                    [attributed["hit_new_item"][k] for k in self.cfg.topk])
+                extra = {f"hit_new_user@{kx}": attributed["hit_new_user"][kx],
+                         f"hit_new_item@{kx}": attributed["hit_new_item"][kx]}
+            else:
+                metrics = {k: (float(h) / n, float(nd) / n)
+                           for k, (h, nd) in out.items()}
+            self.recall.append([metrics[k][0] for k in self.cfg.topk])
+            self.ndcg.append([metrics[k][1] for k in self.cfg.topk])
+            self.logger.log(
+                kind="baseline_test", method=method, period=period,
+                seconds=secs,
+                **{f"recall@{k}": metrics[k][0] for k in self.cfg.topk},
+                **{f"ndcg@{k}": metrics[k][1] for k in self.cfg.topk},
+                **extra)
 
     def run(self, max_periods: Optional[int] = None) -> Dict[str, float]:
         """Sequential sweep from ``start_period`` (``run``,
@@ -348,6 +458,7 @@ class BaselineDriver:
                 break
             period += 1
             done += 1
+        self.finalize()
         out: Dict[str, float] = {}
         if self.test_counts:
             rec = np.asarray(self.recall)

@@ -413,8 +413,14 @@ class SMLDriver:
     def _preload_eval_sets(self, d_time: int, sd: StageData) -> None:
         """Prefetch-worker hook: device-put the period's eval sets early."""
         if sd.now_test is not None:
+            # build_mask unconditionally (ADVICE r4): previously a test set
+            # scored masked or gather depending on whether it had served as
+            # val and hit the upload cache — reported test metrics could
+            # shift at float-tie tolerance with eval_during_* toggles. Now
+            # the test path is one mode: masked whenever the engine's
+            # policy wants masks at all, gather otherwise.
             self._eval_cache[(d_time, "test")] = \
-                self.engine.make_eval_set(sd.now_test)
+                self.engine.make_eval_set(sd.now_test, build_mask=True)
         if (sd.val is not None and sd.val is not sd.now_test
                 and (self.cfg.eval_during_inner
                      or self.cfg.eval_during_outer)):
@@ -425,7 +431,9 @@ class SMLDriver:
                      period: int) -> None:
         padded = self._eval_cache.pop((period, "test"), None)
         if padded is None:
-            padded = self.engine.make_eval_set(now_test)
+            # build_mask=True: one scoring mode for every test set (see
+            # _preload_eval_sets)
+            padded = self.engine.make_eval_set(now_test, build_mask=True)
         n_real = int(now_test.shape[0])
         if self._is_new_user is not None:
             # the attributed kernel already accumulates the base hit/NDCG

@@ -61,6 +61,7 @@ def test_baseline_attribution_from_files(synthetic_dataset):
                          latent_dim=8, start_period=dspec.online_test_start)
     driver = BaselineDriver(cfg, dspec)
     assert driver.run_one_period(dspec.online_test_start)
+    driver.finalize()   # deferred metrics resolve in one fetch (r5)
     assert driver.hit_new_user and driver.hit_new_item
     assert all(v >= 0 for v in driver.hit_new_user[0])
 
