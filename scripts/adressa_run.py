@@ -102,10 +102,14 @@ def phase_sml(args):
     from sml_tpu.train.driver import SMLDriver
     from sml_tpu.utils.logging import MetricsLogger
 
+    from sml_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(log=log)
     cfg = adressa_sml().replace(
         latent_dim=LATENT, transfer=TransferConfig(latent_dim=LATENT),
         seed=args.seed, saddle_retries=args.saddle_retries,
-        log_norms=bool(args.log))
+        log_norms=bool(args.log),
+        fuse_period={"auto": "auto", "on": True,
+                     "off": False}[args.fuse_period])
     assert cfg.multi_num == MULTI and cfg.mf_epochs == EPOCHS \
         and cfg.tr_epochs == EPOCHS
     logger = MetricsLogger(args.log) if args.log else None
@@ -119,7 +123,9 @@ def phase_sml(args):
         "backend": jax.default_backend(),
         "seed": args.seed,
         "total_seconds": round(total, 1),
+        "fuse_period": args.fuse_period,
         "saddle_retries_used": report.saddle_retries_used,
+        "period_seconds": [round(s, 2) for s in report.period_seconds],
         "summary": {k: round(v, 5) for k, v in report.summary().items()},
         "per_period_recall@20":
             [round(v, 4) for v in report.per_period.get(20, [])],
@@ -252,6 +258,10 @@ def main():
                              "reference", "ref-baselines"])
     ap.add_argument("--method", default="full",
                     help="ref-baselines: full | fine | spmf")
+    ap.add_argument("--fuse-period", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="sml: one-dispatch periods (auto = only when "
+                         "this config's program is already compile-cached)")
     ap.add_argument("--root", required=True)
     ap.add_argument("--users", type=int, default=12_000)
     ap.add_argument("--items", type=int, default=8_000)

@@ -123,7 +123,9 @@ def phase_ours(args):
                     theta_seed=args.theta_seed,
                     saddle_retries=args.saddle_retries,
                     uniform_shapes=not args.per_period_shapes,
-                    upload_dedup=not args.no_upload_dedup)
+                    upload_dedup=not args.no_upload_dedup,
+                    fuse_period={"auto": "auto", "on": True,
+                                 "off": False}[args.fuse_period])
     dspec = dspec_for(args.root)
     logger = MetricsLogger(args.log) if args.log else None
     driver = SMLDriver(cfg, dspec, logger=logger)
@@ -282,6 +284,10 @@ def main():
                     help="ours: freeze theta init to this seed while "
                          "--seed varies the data stream (variance "
                          "ablation)")
+    ap.add_argument("--fuse-period", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="one-dispatch periods (auto = only when this "
+                         "config's program is already compile-cached)")
     ap.add_argument("--per-period-shapes", action="store_true",
                     help="ours: disable uniform sweep-wide shape buckets "
                          "(round-2 per-period bucketing, for A/B timing)")
