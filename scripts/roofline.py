@@ -265,6 +265,35 @@ def eval_roofline():
                                    "rows_per_s": n_rows / t_build}
         log(f"eval items={n_items} mask_build: {t_build*1e3:.1f} ms")
         base_hit = None
+        REPS = 8
+
+        def make_scanned(mode):
+            """N eval invocations inside ONE program: wall/N is DEVICE
+            time. Round-5 finding (eval_kernel_probe2): a single blocking
+            dispatch carries a ~22 ms tunnel round-trip that dominated
+            every per-dispatch eval number — e.g. the masked kernel's
+            'total_ms' at 20k items is ~23 ms blocking but ~1-2 ms of
+            actual device time. Production never pays the per-call RTT:
+            in-training evals run inside the fused period scan and test
+            evals dispatch without blocking (evaluate_deferred)."""
+            core = make_eval_fn((5, 10, 20), BATCH, scoring=mode,
+                                use_pallas=use_pallas)
+            from jax import lax
+
+            def run(mfp, rows, mask, cand_mask=None):
+                def body(carry, _):
+                    acc = (core(mfp, rows, mask + carry, cand_mask)
+                           if mode.startswith("masked")
+                           else core(mfp, rows, mask + carry))
+                    h = acc[20][0]
+                    # h >= 0 always, so carry stays 0.0 — a data
+                    # dependence XLA cannot fold (defeats CSE/hoisting)
+                    return jnp.where(h < 0, 1.0, 0.0), h
+                c, hs = lax.scan(body, jnp.float32(0.0), None, length=REPS)
+                return hs[-1] + c
+
+            return jax.jit(run)
+
         for mode in ("gather", "matmul", "gather_bf16", "matmul_bf16",
                      "masked", "masked_bf16"):
             fn = jax.jit(make_eval_fn((5, 10, 20), BATCH, scoring=mode,
@@ -273,6 +302,8 @@ def eval_roofline():
                      if mode.startswith("masked") else (mfp, rows, mask))
             try:
                 dt, acc = timed(fn, *fargs)
+                dt_scan, _ = timed(make_scanned(mode), *fargs, repeats=5)
+                dev = dt_scan / REPS
             except Exception as e:   # one mode OOMing must not kill rest
                 shape_out[mode] = {"error": f"{type(e).__name__}"}
                 continue
@@ -294,16 +325,19 @@ def eval_roofline():
             flops = 2 * n_rows * DIM * (
                 cands if mode.startswith("gather") else n_items)
             shape_out[mode] = {
-                "total_ms": dt * 1e3,
+                "total_ms": dt * 1e3,              # one blocking dispatch
                 "rows_per_s": n_rows / dt,
-                "hbm_gbs": bytes_moved / dt / 1e9,
-                "hbm_frac_of_peak": bytes_moved / dt / HBM_BYTES_S,
-                "tflops": flops / dt / 1e12,
+                "device_ms": dev * 1e3,            # scanned: RTT excluded
+                "device_rows_per_s": n_rows / dev,
+                "hbm_gbs": bytes_moved / dev / 1e9,
+                "hbm_frac_of_peak": bytes_moved / dev / HBM_BYTES_S,
+                "tflops": flops / dev / 1e12,
                 "hit20_delta_vs_gather": (None if base_hit is None
                                           else hit20 - base_hit),
             }
-            log(f"eval items={n_items} {mode}: {dt*1e3:.1f} ms, "
-                f"{n_rows/dt:,.0f} rows/s, hitΔ="
+            log(f"eval items={n_items} {mode}: blocking {dt*1e3:.1f} ms / "
+                f"device {dev*1e3:.2f} ms -> {n_rows/dev:,.0f} rows/s "
+                f"device, hitΔ="
                 f"{shape_out[mode]['hit20_delta_vs_gather']}")
         out[f"items_{n_items}"] = shape_out
     out["rows"] = n_rows
