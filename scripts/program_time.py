@@ -37,7 +37,11 @@ def main():
     out = {
         "runs": len(runs),
         "n_periods": n_periods,
-        "wall_totals_s": {k: round(sum(ps), 1) for k, ps in runs.items()},
+        # period-sum = training span only (NOT process wall; the record's
+        # total_seconds is the wall — BASELINE.md label taxonomy)
+        "period_sums_s": {k: round(sum(ps), 1) for k, ps in runs.items()},
+        "process_walls_s": {k: data[k].get("total_seconds")
+                            for k in runs},
         "per_run_program_time_s": per_run,
         "per_run_spread": round(vals[-1] / vals[0], 2),
         "cross_run_program_time_s": round(sum(cross), 1),
