@@ -59,7 +59,7 @@ def main():
                     c = jnp.where(jnp.isnan(s[0, 0]), 1.0, 0.0)
                     return c, ids[0, 0]
                 c, ids = lax.scan(body, jnp.float32(0.0), None, length=N)
-                return ids[-1] + jnp.int32(c)
+                return ids[-1] + c.astype(jnp.int32)
 
             try:
                 run(users, items).block_until_ready()
