@@ -45,9 +45,13 @@ def main():
            "backend": jax.default_backend(), "shapes": {}}
     rng = np.random.default_rng(5)
     for n_items in (20_000, 120_000, 1_000_000, 5_000_000):
+        # the dense path materializes the (B, I) score matrix; cap it to
+        # ~2.1 GB (the 5M catalog at B=1024 would need 20 GB — that size
+        # is exactly what the sharded path exists for)
+        B_eff = min(B, max(128, int(2**31 // (4 * n_items) // 128 * 128)))
         items = jnp.asarray(rng.standard_normal((n_items, d)),
                             jnp.float32)
-        users = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+        users = jnp.asarray(rng.standard_normal((B_eff, d)), jnp.float32)
         shape_res = {}
         for dtype_name, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
             @jax.jit
@@ -62,24 +66,30 @@ def main():
                 return ids[-1] + c.astype(jnp.int32)
 
             try:
-                run(users, items).block_until_ready()
+                # int(...) materializes the scalar on host: the ONLY
+                # reliable completion barrier on the axon platform
+                # (block_until_ready returns early — bench.py note; the
+                # first capture of this probe "measured" 850 TF/s)
+                int(run(users, items))
                 best = float("inf")
                 for _ in range(args.trials):
                     t0 = time.time()
-                    run(users, items).block_until_ready()
+                    int(run(users, items))
                     best = min(best, time.time() - t0)
             except Exception as e:
                 shape_res[dtype_name] = {"error": f"{type(e).__name__}"}
                 continue
             dev = best / N
-            flops = 2.0 * B * n_items * d
+            flops = 2.0 * B_eff * n_items * d
             shape_res[dtype_name] = {
+                "batch": B_eff,
                 "device_ms": round(dev * 1e3, 3),
-                "users_per_s": round(B / dev, 0),
+                "users_per_s": round(B_eff / dev, 0),
                 "tflops": round(flops / dev / 1e12, 2),
             }
             log(f"items={n_items} {dtype_name}: {dev*1e3:.2f} ms/batch "
-                f"-> {B/dev:,.0f} users/s ({flops/dev/1e12:.1f} TF/s)")
+                f"(B={B_eff}) -> {B_eff/dev:,.0f} users/s "
+                f"({flops/dev/1e12:.1f} TF/s)")
         out["shapes"][str(n_items)] = shape_res
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
