@@ -53,12 +53,33 @@ def main():
                             jnp.float32)
         users = jnp.asarray(rng.standard_normal((B_eff, d)), jnp.float32)
         shape_res = {}
-        for dtype_name, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
+        # recall of the hardware PartialReduce vs exact top-K, one batch
+        try:
+            _, ids_exact = dense_full_topk(users, items, K)
+            ids_exact = np.asarray(ids_exact)
+            for meth in ("approx", "approx99"):
+                _, ids_a = dense_full_topk(users, items, K,
+                                           topk_method=meth)
+                ids_a = np.asarray(ids_a)
+                overlap = np.mean([
+                    len(set(ids_exact[b]) & set(ids_a[b])) / K
+                    for b in range(ids_exact.shape[0])])
+                shape_res[f"recall_{meth}_vs_exact"] = round(
+                    float(overlap), 4)
+        except Exception as e:
+            shape_res["recall_error"] = f"{type(e).__name__}"
+        variants = (("f32_exact", None, "exact"),
+                    ("f32_approx", None, "approx"),
+                    ("f32_approx99", None, "approx99"),
+                    ("bf16_exact", jnp.bfloat16, "exact"),
+                    ("bf16_approx99", jnp.bfloat16, "approx99"))
+        for dtype_name, cdt, meth in variants:
             @jax.jit
-            def run(u, it, cdt=cdt):
+            def run(u, it, cdt=cdt, meth=meth):
                 def body(carry, _):
                     s, ids = dense_full_topk(u + carry, it, K,
-                                             compute_dtype=cdt)
+                                             compute_dtype=cdt,
+                                             topk_method=meth)
                     # s[:, 0] finite; carry stays exactly 0.0 — defeats CSE
                     c = jnp.where(jnp.isnan(s[0, 0]), 1.0, 0.0)
                     return c, ids[0, 0]

@@ -312,7 +312,8 @@ def cmd_rank(args) -> int:
     for start in range(0, users.shape[0], args.batch_size):
         chunk = jnp.asarray(users[start:start + args.batch_size])
         scores, items = recommend(mf, chunk, args.k, mesh=mesh,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype,
+                                  topk_method=args.topk_method)
         scores = np.asarray(scores)
         items = np.asarray(items)
         for r in range(chunk.shape[0]):
@@ -487,6 +488,12 @@ def main(argv=None) -> int:
     pr.add_argument("--bf16", action="store_true",
                     help="score in bfloat16 (MXU native rate, ~2x; "
                          "near-tie ranks may swap)")
+    pr.add_argument("--topk-method", default="exact",
+                    choices=["exact", "approx", "approx99"],
+                    help="'exact' = lax.top_k (sort-class; it, not the "
+                         "matmul, bounds dense serving wall); 'approx'/"
+                         "'approx99' = the TPU's hardware PartialReduce "
+                         "at 0.95/0.99 recall per returned K")
     pr.set_defaults(fn=cmd_rank)
 
     args = p.parse_args(argv)
