@@ -58,7 +58,7 @@ def _best_block(n: int, target: int) -> int:
     return 1
 
 
-def decay_adam_supported(arr: jax.Array, block_rows: int = 4096) -> bool:
+def decay_adam_supported(arr: jax.Array, block_rows: int = 1024) -> bool:
     return (arr.dtype == jnp.float32 and arr.size >= MIN_ELEMS
             and arr.size % LANES == 0
             and _best_block(arr.size // LANES, block_rows) >= 256)
@@ -69,11 +69,19 @@ def decay_adam_supported(arr: jax.Array, block_rows: int = 4096) -> bool:
 def fused_decay_adam(p: jax.Array, mu: jax.Array, nu: jax.Array,
                      bc1: jax.Array, bc2: jax.Array, *, lr: float, b1: float,
                      b2: float, eps: float,
-                     block_rows: int = 4096):
+                     block_rows: int = 1024):
     """One g=0 dense-Adam step over a whole table. ``bc1``/``bc2`` are the
     bias-correction scalars ``1-b1**t`` / ``1-b2**t`` (traced values).
     Returns (p', mu', nu') with the inputs' shapes/dtypes; buffers are
-    aliased in-place."""
+    aliased in-place.
+
+    ``block_rows``: 1024 (512 KB tiles) keeps the kernel's VMEM footprint
+    — ~6 double-buffered pipeline buffers plus the elementwise-chain
+    stack temporaries — well under the 16 MB budget. The previous 4096
+    default compiled a ~23.4 MB stack at the 5M-user table (Mosaic
+    scoped-vmem OOM, caught by the round-5 scale re-run); the kernel is
+    HBM-bandwidth-bound, so block size above ~256 rows doesn't affect
+    throughput."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
