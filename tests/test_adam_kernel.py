@@ -12,9 +12,14 @@ from sml_tpu.train.optim import ADAM_B1, ADAM_B2, ADAM_EPS
 def test_best_block_production_shape():
     from sml_tpu.ops.adam_kernel import _best_block
     # 5M users x d=64 -> 2.5M lane-rows; divisor search must find a
-    # near-target block, not the 32-row power-of-two floor
+    # near-target MULTIPLE-OF-8 block (TPU sublane tiling), not the
+    # 32-row power-of-two floor. The old contract allowed any divisor;
+    # a 500-row block (divides 3M) fails Pallas lowering on hardware.
     assert _best_block(2_500_000, 4096) == 4000
-    assert _best_block(625, 512) == 125
+    assert _best_block(2_500_000, 1024) == 1000
+    # 625 = 5^4 has no multiple-of-8 divisor -> degenerate 1 (caller
+    # falls back to XLA via decay_adam_supported's >=256 gate)
+    assert _best_block(625, 512) == 1
     assert _best_block(677, 512) == 1
 
 
