@@ -70,3 +70,28 @@ def test_bf16_serving_matches_on_separated_scores(rng):
     _, ids32 = dense_full_topk(users, items, 5)
     _, ids16 = dense_full_topk(users, items, 5, compute_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(ids32), np.asarray(ids16))
+
+
+def test_topk_method_wiring(rng):
+    """`topk_method` variants return valid (score-sorted, in-catalog)
+    results on every path, and the id SET matches exact on well-separated
+    scores. (On CPU `lax.approx_max_k` falls back to exact; on TPU the
+    PartialReduce recall is measured in serving_probe_r5.json.)"""
+    mesh = _mesh()
+    b, i, d, k = 8, 256, 8, 4
+    users = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(i, d)), jnp.float32)
+    _, exact_ids = dense_full_topk(users, items, k)
+    items_sharded = jax.device_put(items, NamedSharding(mesh, P("model")))
+    for meth in ("approx", "approx99"):
+        s, ids = dense_full_topk(users, items, k, topk_method=meth)
+        assert s.shape == (b, k) and ids.shape == (b, k)
+        sn, idn = np.asarray(s), np.asarray(ids)
+        assert (np.diff(sn, axis=1) <= 1e-6).all()   # sorted descending
+        assert ((idn >= 0) & (idn < i)).all()
+        for r in range(b):
+            assert set(idn[r]) == set(np.asarray(exact_ids)[r]), meth
+        ss, si = make_sharded_full_topk(mesh, k, None, meth)(
+            users, items_sharded)
+        for r in range(b):
+            assert set(np.asarray(si)[r]) == set(np.asarray(exact_ids)[r])
