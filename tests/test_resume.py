@@ -125,3 +125,51 @@ def test_resume_reproduces_uninterrupted_run(synthetic_dataset, tmp_path):
                                       np.asarray(vals), err_msg=f"K={k}")
     merged_n = driver_b.report.test_counts + driver_c.report.test_counts
     assert merged_n == report_a.test_counts
+
+
+def test_resume_with_fused_periods(synthetic_dataset, tmp_path):
+    """Same crash-recovery determinism with one-dispatch periods
+    (fuse_period=True, the shipping default once marked) and the
+    protocol's in-training evals on: resume must reproduce the
+    uninterrupted fused run's metrics bitwise."""
+    dspec, info, spec = synthetic_dataset
+    fcfg = _cfg().replace(multi_num=2, fuse_period=True,
+                          eval_during_inner=True, eval_during_outer=True)
+
+    engine_a = SMLEngine(fcfg, info.n_users, info.n_items)
+    driver_a = SMLDriver(fcfg, dspec, engine=engine_a)
+    report_a = driver_a.run(engine_a.init_state())
+    assert len(report_a.test_counts) == 3
+
+    engine_b = SMLEngine(fcfg, info.n_users, info.n_items)
+    driver_b = SMLDriver(fcfg, dspec, engine=engine_b)
+    state = engine_b.init_state()
+    driver_b.feeder.reinit()
+    for d_time in range(2):
+        state, ok = driver_b.run_period(state, d_time)
+        assert ok
+    save_checkpoint(str(tmp_path / "ck"), 1, state)
+
+    engine_c = SMLEngine(fcfg, info.n_users, info.n_items)
+    driver_c = SMLDriver(fcfg, dspec, engine=engine_c)
+    template = engine_c.init_state()
+    state_c, step, _ = restore_checkpoint(str(tmp_path / "ck"), template)
+    driver_c.feeder.reinit()
+    d_time = 0
+    while True:
+        if d_time > step:
+            state_c, ok = driver_c.run_period(state_c, d_time)
+            if not ok:
+                break
+        else:
+            driver_c.feeder.next_train(d_time)
+        d_time += 1
+
+    driver_b.finalize()
+    driver_c.finalize()
+    merged = {k: driver_b.report.per_period.get(k, [])
+              + driver_c.report.per_period.get(k, [])
+              for k in report_a.per_period}
+    for k, vals in report_a.per_period.items():
+        np.testing.assert_array_equal(np.asarray(merged[k]),
+                                      np.asarray(vals), err_msg=f"K={k}")
