@@ -43,17 +43,19 @@ def _kernel(bc_ref, p_ref, mu_ref, nu_ref, op_ref, omu_ref, onu_ref,
 
 
 def _best_block(n: int, target: int) -> int:
-    """Largest divisor of ``n`` that is <= ``target`` (bounded scan).
+    """Largest multiple-of-8 divisor of ``n`` that is <= ``target``.
 
     The grid must divide the lane-row count exactly (ragged final blocks
     interact badly with input/output aliasing), but a pure halving search
     collapses for row counts with small power-of-two factors — e.g. the 5M
     users x d=64 table is 2.5M = 32*5^7 lane-rows, whose best power-of-two
     block is 32 rows (16 KB tiles, an 80k-step grid) while 4000 divides it
-    exactly. Scanning down from the target finds such divisors cheaply."""
+    exactly. Scanning down from the target finds such divisors cheaply.
+    The %8 constraint is the TPU sublane tiling requirement — a 500-row
+    block (a divisor of 3M) fails Pallas lowering."""
     cap = min(target, n)
     for b in range(cap, max(cap - 8192, 0), -1):
-        if n % b == 0:
+        if n % b == 0 and b % 8 == 0:
             return b
     return 1
 
