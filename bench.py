@@ -81,6 +81,19 @@ def oom_retry(fn, label, attempts=5, base_delay=20.0, sleep=time.sleep):
             sleep(delay)
 
 
+def clean_trials(rates, frac=0.9):
+    """The stall-rejection rule: trials within ``frac`` of the fastest.
+
+    Tunnel stalls only ever SLOW a trial down (same reasoning as the
+    pinned torch denominator), so the fastest trial anchors the clean
+    set and a contaminated trial can never enter it. Returns the sorted
+    clean subset."""
+    if not rates:
+        return []
+    top = max(rates)
+    return sorted(r for r in rates if r >= frac * top)
+
+
 def preflight(attempts=5, base_delay=20.0, sleep=time.sleep):
     """Tiny allocate-compute-fetch probe (with the same OOM retry) before
     the heavyweight workload, so a busy device is detected in seconds, not
@@ -193,10 +206,9 @@ def bench_jax(inter, mf_sample, rng):
         log(f"jax[{mf_sample}] trial {trial}: {n_scan} epochs x "
             f"{inter.shape[0]} examples in {dt:.2f}s "
             f"-> {rates[-1]:,.0f} ex/s")
-        clean = [r for r in rates if r >= 0.9 * max(rates)]
-        if len(clean) >= MIN_CLEAN_TRIALS:
+        if len(clean_trials(rates)) >= MIN_CLEAN_TRIALS:
             break
-    clean = sorted(r for r in rates if r >= 0.9 * max(rates))
+    clean = clean_trials(rates)
     if len(clean) < MIN_CLEAN_TRIALS:
         log(f"jax[{mf_sample}] WARNING: only {len(clean)}/{len(rates)} "
             f"trials within 10% of max — tunnel badly stalled; value uses "

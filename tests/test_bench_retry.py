@@ -108,3 +108,22 @@ def test_respawn_main_gives_up_with_last_rc():
                             sleep=lambda s: None,
                             run=lambda cmd, env: 7)
     assert rc == 7
+
+
+def test_clean_trials_stall_rejection():
+    """The device-scan protocol's clean-set rule: stalled (slow) trials
+    can never enter the set, the fastest always anchors it, and the
+    round-4 failure mode (1 fast + 2 stalled trials -> median halves)
+    now yields the fast value."""
+    import bench
+
+    assert bench.clean_trials([]) == []
+    # round-4's scored capture: trial 0 fast, 1-2 tunnel-stalled
+    r4 = [1_040_000.0, 455_000.0, 450_000.0]
+    assert bench.clean_trials(r4) == [1_040_000.0]
+    # healthy capture: everything within 10%
+    ok = [1.00e6, 1.02e6, 0.99e6, 1.01e6, 1.03e6]
+    assert bench.clean_trials(ok) == sorted(ok)
+    # boundary: exactly at 90% of max stays in
+    assert bench.clean_trials([100.0, 90.0]) == [90.0, 100.0]
+    assert bench.clean_trials([100.0, 89.9]) == [100.0]
