@@ -80,6 +80,17 @@ def main():
                     (isinstance(v, dict) and "users_per_s" in v)}
             for shape, r in serve["shapes"].items()
         },
+        "accuracy_fleets_r5": {
+            "yelp_guard_n12": sorted(round(
+                y[f"ours_r5_guard_seed{s}"]["summary"]["test_recall@20"], 5)
+                for s in range(2001, 2013) if f"ours_r5_guard_seed{s}" in y),
+            "news_guard_n6": sorted(round(
+                a[f"ours_r5_aguard_seed{s}"]["summary"]["test_recall@20"], 5)
+                for s in range(2001, 2007) if f"ours_r5_aguard_seed{s}" in a),
+            "news_reference": sorted(round(
+                a[k]["summary"]["test_recall@20"], 5) for k in a
+                if k.startswith("reference_seed")),
+        },
         "baselines_yelp_scale": {
             m: {"ours_r5": {"wall_s": y[f"ours_baseline_{m}_r5"]
                             ["total_seconds"],
