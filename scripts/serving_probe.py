@@ -55,9 +55,10 @@ def main():
         shape_res = {}
         # recall of the hardware PartialReduce vs exact top-K, one batch
         try:
-            _, ids_exact = dense_full_topk(users, items, K)
+            _, ids_exact = dense_full_topk(users, items, K,
+                                           topk_method="exact_sort")
             ids_exact = np.asarray(ids_exact)
-            for meth in ("approx", "approx99"):
+            for meth in ("exact", "approx", "approx99"):
                 _, ids_a = dense_full_topk(users, items, K,
                                            topk_method=meth)
                 ids_a = np.asarray(ids_a)
@@ -68,7 +69,8 @@ def main():
                     float(overlap), 4)
         except Exception as e:
             shape_res["recall_error"] = f"{type(e).__name__}"
-        variants = (("f32_exact", None, "exact"),
+        variants = (("f32_exact", None, "exact"),   # bucket at these widths
+                    ("f32_exact_sort", None, "exact_sort"),
                     ("f32_approx", None, "approx"),
                     ("f32_approx99", None, "approx99"),
                     ("bf16_exact", jnp.bfloat16, "exact"),

@@ -489,11 +489,13 @@ def main(argv=None) -> int:
                     help="score in bfloat16 (MXU native rate, ~2x; "
                          "near-tie ranks may swap)")
     pr.add_argument("--topk-method", default="exact",
-                    choices=["exact", "approx", "approx99"],
-                    help="'exact' = lax.top_k (sort-class; it, not the "
-                         "matmul, bounds dense serving wall); 'approx'/"
-                         "'approx99' = the TPU's hardware PartialReduce "
-                         "at 0.95/0.99 recall per returned K")
+                    choices=["exact", "exact_sort", "exact_bucket",
+                             "approx", "approx99"],
+                    help="'exact' = exact scores (wide catalogs use the "
+                         "bucketed two-pass select, narrow ones plain "
+                         "lax.top_k); 'exact_sort'/'exact_bucket' pin one "
+                         "engine; 'approx'/'approx99' = the TPU's hardware "
+                         "PartialReduce at 0.95/0.99 recall per returned K")
     pr.set_defaults(fn=cmd_rank)
 
     args = p.parse_args(argv)

@@ -72,6 +72,66 @@ def test_bf16_serving_matches_on_separated_scores(rng):
     np.testing.assert_array_equal(np.asarray(ids32), np.asarray(ids16))
 
 
+def test_bucket_topk_matches_sort(rng):
+    """The bucketed exact select returns lax.top_k's score multiset and a
+    valid id for every slot, across widths that do / don't divide into
+    bins, k=1, and constant (all-tied) scores."""
+    from sml_tpu.eval.full_ranking import _bucket_topk
+
+    for b, i, k in ((4, 20_000, 100), (3, 17_231, 7), (2, 16_384, 1),
+                    (5, 50_001, 64)):
+        scores = jnp.asarray(rng.normal(size=(b, i)), jnp.float32)
+        bs, bi = _bucket_topk(scores, k)
+        ss, si = jax.lax.top_k(scores, k)
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(ss), rtol=0)
+        sn = np.asarray(scores)
+        bin_, bid = np.asarray(bs), np.asarray(bi)
+        assert ((bid >= 0) & (bid < i)).all()
+        # each returned id really carries its returned score
+        np.testing.assert_allclose(
+            np.take_along_axis(sn, bid, axis=1), bin_, rtol=0)
+        # ids are distinct per row
+        for r in range(b):
+            assert len(set(bid[r])) == k
+    # all-tied scores: every slot must hold the tied value, distinct ids
+    tied = jnp.full((2, 20_000), 3.25, jnp.float32)
+    ts, ti = _bucket_topk(tied, 10)
+    assert (np.asarray(ts) == 3.25).all()
+    for r in range(2):
+        assert len(set(np.asarray(ti)[r])) == 10
+
+
+def test_exact_method_dispatch(rng):
+    """'exact' routes wide catalogs through the bucket path and narrow
+    ones through lax.top_k — identical results either way; 'exact_sort' /
+    'exact_bucket' pin the engines; the sharded path stays id-set-equal
+    to dense under each exact method."""
+    mesh = _mesh()
+    d, k = 8, 6
+    for i in (256, 20_000):           # below / above _BUCKET_MIN_WIDTH
+        users = jnp.asarray(rng.normal(size=(4, d)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(i, d)), jnp.float32)
+        ref_s, ref_i = dense_full_topk(users, items, k,
+                                       topk_method="exact_sort")
+        for meth in ("exact", "exact_bucket"):
+            s, ids = dense_full_topk(users, items, k, topk_method=meth)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
+                                       rtol=0)
+            np.testing.assert_array_equal(np.asarray(ids),
+                                          np.asarray(ref_i))
+        items_sharded = jax.device_put(items,
+                                       NamedSharding(mesh, P("model")))
+        for meth in ("exact", "exact_bucket"):
+            ss, si = make_sharded_full_topk(mesh, k, None, meth)(
+                users, items_sharded)
+            # per-shard matmul accumulation differs from dense at ULP level
+            np.testing.assert_allclose(np.asarray(ss), np.asarray(ref_s),
+                                       rtol=1e-6)
+            for r in range(4):
+                assert (set(np.asarray(si)[r])
+                        == set(np.asarray(ref_i)[r])), meth
+
+
 def test_topk_method_wiring(rng):
     """`topk_method` variants return valid (score-sorted, in-catalog)
     results on every path, and the id SET matches exact on well-separated
