@@ -69,7 +69,10 @@ def _bucket_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
                          constant_values=-jnp.inf)
     s3 = scores.reshape(B, n_bins, bin_size)
     bin_max = s3.max(axis=2)                              # (B, n_bins)
-    _, top_bins = jax.lax.top_k(bin_max, k)               # (B, k)
+    if n_bins >= _BUCKET_MIN_WIDTH:                       # e.g. 10^7 items
+        _, top_bins = _bucket_topk(bin_max, k)            # recurse: exact
+    else:
+        _, top_bins = jax.lax.top_k(bin_max, k)           # (B, k)
     pool = jnp.take_along_axis(s3, top_bins[:, :, None], axis=1)
     ms, sel = jax.lax.top_k(pool.reshape(B, k * bin_size), k)
     bin_of = jnp.take_along_axis(top_bins, sel // bin_size, axis=1)

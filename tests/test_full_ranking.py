@@ -101,6 +101,22 @@ def test_bucket_topk_matches_sort(rng):
         assert len(set(np.asarray(ti)[r])) == 10
 
 
+def test_bucket_topk_recursive(rng, monkeypatch):
+    """When the bin-maxima row is itself wide (10^6+-item catalogs) the
+    select recurses; force that branch with a tiny threshold and check
+    exactness is preserved."""
+    import sml_tpu.eval.full_ranking as fr
+
+    monkeypatch.setattr(fr, "_BUCKET_MIN_WIDTH", 64)
+    scores = jnp.asarray(rng.normal(size=(3, 30_000)), jnp.float32)
+    bs, bi = fr._bucket_topk(scores, 20)     # n_bins ~ 775 >= 64: recurses
+    ss, _ = jax.lax.top_k(scores, 20)
+    np.testing.assert_allclose(np.asarray(bs), np.asarray(ss), rtol=0)
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(scores), np.asarray(bi), axis=1),
+        np.asarray(bs), rtol=0)
+
+
 def test_exact_method_dispatch(rng):
     """'exact' routes wide catalogs through the bucket path and narrow
     ones through lax.top_k — identical results either way; 'exact_sort' /
