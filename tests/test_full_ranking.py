@@ -152,7 +152,7 @@ def test_topk_method_wiring(rng):
     """`topk_method` variants return valid (score-sorted, in-catalog)
     results on every path, and the id SET matches exact on well-separated
     scores. (On CPU `lax.approx_max_k` falls back to exact; on TPU the
-    PartialReduce recall is measured in serving_probe_r5.json.)"""
+    PartialReduce recall is measured in serving_probe_r5b.json.)"""
     mesh = _mesh()
     b, i, d, k = 8, 256, 8, 4
     users = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
